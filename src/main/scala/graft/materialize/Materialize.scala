@@ -1,0 +1,89 @@
+package graft.materialize
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Latest-value materialization: collapse a feature history to one row per
+  * entity key — the reference's `pull_latest_from_table_or_query`
+  * (file.py:246-265 pandas sort+drop_duplicates keep-last; bigquery.py:71-92
+  * ROW_NUMBER()=1 SQL). Tie-break: greatest event ts, then greatest
+  * created ts.
+  */
+object Materialize {
+
+  /** One row per key: the row with max (ts, created[, ties...]).
+    * Implemented as max_by(payload, struct(orderCols)) — a single hash
+    * aggregate with map-side partials, cheaper at scale than the
+    * row_number()=1 window (no full sort of every key's history).
+    */
+  def latestPerKey(
+      df: DataFrame,
+      keys: Seq[String],
+      ts: String,
+      createdTs: Option[String] = None,
+      ties: Seq[String] = Nil): DataFrame = {
+    val orderCols = (col(ts) +: (createdTs.map(col).toSeq ++ ties.map(col)))
+    val payloadCols = df.columns.filterNot(keys.contains).toSeq
+    val payload = struct(payloadCols.map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(payload, struct(orderCols: _*)).as("__graft_latest"))
+      .select(keys.map(col) ++ payloadCols.map(c => col(s"__graft_latest.`$c`").as(c)): _*)
+  }
+
+  /** Window-based variant (exactly the reference's SQL plan shape);
+    * used as an internal cross-check for latestPerKey.
+    */
+  def latestPerKeyWindowed(
+      df: DataFrame,
+      keys: Seq[String],
+      ts: String,
+      createdTs: Option[String] = None,
+      ties: Seq[String] = Nil): DataFrame = {
+    val order = (col(ts).desc +: (createdTs.map(col(_).desc).toSeq ++ ties.map(col(_).desc)))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__graft_rn", row_number().over(w))
+      .where(col("__graft_rn") === 1)
+      .drop("__graft_rn")
+  }
+
+  /** Time-bounded pull: [startInclusive, endExclusive) on ts, then latest per
+    * key — the materialization unit of work (file.py:254-257 time filter).
+    * The range predicate is authored before the aggregate so Catalyst pushes
+    * it into the parquet scan (min/max + partition pruning at scale).
+    */
+  def pullLatest(
+      df: DataFrame,
+      keys: Seq[String],
+      ts: String,
+      createdTs: Option[String],
+      startInclusive: java.sql.Timestamp,
+      endExclusive: java.sql.Timestamp): DataFrame = {
+    val bounded = df.where(col(ts) >= lit(startInclusive) && col(ts) < lit(endExclusive))
+    latestPerKey(bounded, keys, ts, createdTs)
+  }
+
+  /** Entity-frame timestamp bounds (bigquery.py:415-434): one tiny agg job
+    * whose result is injected as scan-pruning literals on the feature side.
+    */
+  def timestampBounds(entity: DataFrame, ts: String): (java.sql.Timestamp, java.sql.Timestamp) = {
+    val row = entity.agg(min(col(ts)), max(col(ts))).head()
+    (row.getTimestamp(0), row.getTimestamp(1))
+  }
+
+  /** Prune a feature frame to [minEntityTs - ttl, maxEntityTs] before an
+    * as-of join (the reference's global time filter, bigquery.py:596-599).
+    */
+  def pruneToEntityRange(
+      feature: DataFrame,
+      featureTs: String,
+      bounds: (java.sql.Timestamp, java.sql.Timestamp),
+      ttlSeconds: Option[Long]): DataFrame = {
+    val (lo, hi) = bounds
+    val lower: Column = ttlSeconds match {
+      case Some(ttl) => col(featureTs) >= (lit(lo) - expr(s"INTERVAL $ttl SECONDS"))
+      case None => lit(true)
+    }
+    feature.where(lower && col(featureTs) <= lit(hi))
+  }
+}

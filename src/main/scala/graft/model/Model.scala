@@ -1,0 +1,121 @@
+package graft.model
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Data model re-creating the reference's abstractions
+  * (Cimpress-MCP/feast: entity.py:30-59, feature.py:25-50,
+  * feature_view.py:42-102, data_source.py:373-458) as plain case classes.
+  * The proto value-type enum (protos/feast/types/Value.proto:26-46) maps onto
+  * Spark types one-to-one; only one nesting level of lists exists
+  * (type_map.py:154-159).
+  */
+sealed abstract class ValueType(val sparkType: DataType)
+object ValueType {
+  case object BYTES extends ValueType(BinaryType)
+  case object STRING extends ValueType(StringType)
+  case object INT32 extends ValueType(IntegerType)
+  case object INT64 extends ValueType(LongType)
+  case object FLOAT extends ValueType(FloatType)
+  case object DOUBLE extends ValueType(DoubleType)
+  case object BOOL extends ValueType(BooleanType)
+  /** stored as int64 epoch seconds in the reference (type_map.py:312-313) */
+  case object UNIX_TIMESTAMP extends ValueType(TimestampType)
+  final case class ListOf(elem: ValueType) extends ValueType(ArrayType(elem.sparkType)) {
+    require(!elem.isInstanceOf[ListOf], "only one list nesting level (type_map.py:154-159)")
+  }
+  /** Infer a ValueType from a Spark column type (inference.py:12-59). */
+  def fromSpark(dt: DataType): ValueType = dt match {
+    case BinaryType => BYTES
+    case StringType => STRING
+    case IntegerType | ShortType | ByteType => INT32
+    case LongType => INT64
+    case FloatType => FLOAT
+    case DoubleType => DOUBLE
+    case BooleanType => BOOL
+    case TimestampType => UNIX_TIMESTAMP
+    case ArrayType(e, _) => ListOf(fromSpark(e))
+    case other => throw new IllegalArgumentException(s"unsupported type $other")
+  }
+}
+
+/** Named join key (entity.py:30-59; join_key defaults to the name). */
+final case class Entity(name: String, valueType: ValueType, joinKey: Option[String] = None) {
+  def key: String = joinKey.getOrElse(name)
+}
+
+final case class Feature(name: String, valueType: ValueType)
+
+/** Batch source descriptor (data_source.py:560-667 FileSource): a path plus
+  * timestamp columns and an optional src→dst field mapping applied at read.
+  */
+final case class BatchSource(
+    path: String,
+    eventTimestampColumn: String,
+    createdTimestampColumn: Option[String] = None,
+    fieldMapping: Map[String, String] = Map.empty,
+    datePartitionColumn: Option[String] = None)
+
+/** Logical feature group over one source (feature_view.py:42-102).
+  * ttl = as-of join tolerance / max_age, in seconds; None = unbounded
+  * lookback (feature_view.py:233-238, bigquery.py:597).
+  */
+final case class FeatureView(
+    name: String,
+    entities: Seq[Entity],
+    features: Seq[Feature],
+    source: BatchSource,
+    ttlSeconds: Option[Long] = None) {
+  def joinKeys: Seq[String] = entities.map(_.key)
+}
+
+object FieldMapping {
+  /** Forward field mapping: rename source columns to feature names
+    * (provider.py:251-260 `_run_field_mapping`). Non-mapped columns pass
+    * through unchanged; pure projection, zero cost under Catalyst.
+    */
+  def apply(df: DataFrame, mapping: Map[String, String]): DataFrame =
+    if (mapping.isEmpty) df
+    else df.select(df.columns.map(c => col(c).as(mapping.getOrElse(c, c))).toSeq: _*)
+}
+
+/** Feature reference "view:feature" resolution + duplicate-output validation
+  * (feature_store.py:636-681).
+  */
+object FeatureRefs {
+  final case class Ref(view: String, feature: String)
+
+  def parse(refs: Seq[String]): Seq[Ref] = refs.map { r =>
+    r.split(":") match {
+      case Array(v, f) => Ref(v, f)
+      case _ => throw new IllegalArgumentException(
+        s"feature ref '$r' must look like 'view:feature'")
+    }
+  }
+
+  /** Group refs per view, erroring on unknown views and (when
+    * fullFeatureNames=false) colliding output names.
+    */
+  def group(
+      refs: Seq[Ref],
+      views: Map[String, FeatureView],
+      fullFeatureNames: Boolean): Map[FeatureView, Seq[String]] = {
+    refs.foreach { r =>
+      val v = views.getOrElse(r.view, throw new IllegalArgumentException(
+        s"feature view '${r.view}' not found"))
+      require(v.features.exists(_.name == r.feature),
+        s"feature '${r.feature}' not in view '${r.view}'")
+    }
+    if (!fullFeatureNames) {
+      val dup = refs.groupBy(_.feature).filter(_._2.size > 1).keys
+      require(dup.isEmpty,
+        s"duplicate output feature name(s) ${dup.mkString(", ")}; use fullFeatureNames")
+    }
+    refs.groupBy(_.view).map { case (v, rs) => views(v) -> rs.map(_.feature) }
+  }
+
+  /** `view__feature` output naming (file.py:136-151). */
+  def outputName(view: String, feature: String, full: Boolean): String =
+    if (full) s"${view}__$feature" else feature
+}

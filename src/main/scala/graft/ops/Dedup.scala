@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for large-scale training-data curation, all as
+  * declarative DataFrame plans (shuffle-keyed, map-side combinable):
+  *
+  *  - exact: hash-groupBy on content, keep canonical representative
+  *  - n-gram Jaccard: exact set similarity via shingle inverted index
+  *  - MinHash + LSH: near-dup at scale — shingle → k minhashes → bands →
+  *    bucket self-join on band signature → exact-verify candidates
+  *  - SimHash: 64-bit weighted-projection fingerprint, hamming-bucket join
+  *
+  * Scale notes (100 TB posture): every self-join here goes through an
+  * inverted index (shingle or bucket), never a cross join; candidate
+  * verification is bounded by bucket size; `idCol < idCol` halves pair space.
+  */
+object Dedup {
+
+  /** Exact dedup: one representative (min id) per identical content value. */
+  def exact(df: DataFrame, contentCol: String, idCol: String): DataFrame =
+    df.groupBy(col(contentCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
+      .select(col(idCol), col(contentCol), col("n_dups"))
+
+  /** Word shingles: distinct n-grams of whitespace-split words per doc. */
+  def wordShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val words = split(col(textCol), " ")
+    df.select(col(idCol), words.as("__w"))
+      .where(size(col("__w")) >= n)
+      .select(
+        col(idCol),
+        explode(
+          transform(
+            sequence(lit(0), size(col("__w")) - n),
+            i => concat_ws(" ", slice(col("__w"), i + 1, lit(n))))).as("shingle"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard pairs with similarity >= threshold.
+    * Inverted-index join on shingle: |candidate pairs| is sum over shingles
+    * of c², not |docs|² — the standard scalable exact-Jaccard plan.
+    */
+  def ngramJaccard(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double): DataFrame = {
+    val sh = wordShingles(df, idCol, textCol, n).cache()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    val a = sh.select(col(idCol).as("id1"), col("shingle"))
+    val b = sh.select(col(idCol).as("id2"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .where(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("__ix"))
+    inter
+      .join(sizes.select(col(idCol).as("id1"), col("__n").as("__n1")), Seq("id1"))
+      .join(sizes.select(col(idCol).as("id2"), col("__n").as("__n2")), Seq("id2"))
+      .withColumn(
+        "jaccard",
+        round(col("__ix").cast("double") / (col("__n1") + col("__n2") - col("__ix")), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** MinHash signatures: k independent permutations simulated as
+    * min(xxhash64(shingle, seed_i)) per doc. One groupBy, k codegen'd aggs.
+    */
+  def minhashSignatures(
+      shingles: DataFrame,
+      idCol: String,
+      numHashes: Int): DataFrame = {
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"mh_$i"))
+    shingles.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash + LSH banding: split k signatures into bands of r rows; docs
+    * sharing any band signature become candidates; candidates are verified
+    * with exact Jaccard on their shingle sets. False-positive-free (exact
+    * verify); false negatives bounded by the (bands, rows) S-curve.
+    */
+  def minhashLsh(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val sh = wordShingles(df, idCol, textCol, shingleN).cache()
+    val sig = minhashSignatures(sh, idCol, numHashes)
+    // band signature = hash of its r minhash values
+    val banded = sig.select(
+      col(idCol),
+      explode(array((0 until bands).map { b =>
+        struct(
+          lit(b).as("band"),
+          xxhash64((b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*).as("sig"))
+      }: _*)).as("bs"))
+      .select(col(idCol), col("bs.band"), col("bs.sig"))
+    val cand = banded.as("x").join(banded.as("y"), Seq("band", "sig"))
+      .where(col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id1"), col(s"y.$idCol").as("id2"))
+      .distinct()
+    // exact verification of candidates only
+    val withSets = sh.groupBy(col(idCol)).agg(collect_set(col("shingle")).as("__set"))
+    cand
+      .join(withSets.select(col(idCol).as("id1"), col("__set").as("__s1")), Seq("id1"))
+      .join(withSets.select(col(idCol).as("id2"), col("__set").as("__s2")), Seq("id2"))
+      .withColumn(
+        "jaccard",
+        round(
+          size(array_intersect(col("__s1"), col("__s2"))).cast("double") /
+            size(array_union(col("__s1"), col("__s2"))), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over word shingles: bit b of the fingerprint is the sign
+    * of sum over shingles of (bit b of xxhash64(shingle) ? +1 : -1).
+    * Expressed as 64 conditional-sum aggregate columns — fully codegen'd.
+    */
+  def simhash(shingles: DataFrame, idCol: String): DataFrame = {
+    val h = xxhash64(col("shingle"))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__b$b")
+    }
+    val agg = shingles.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64).map { b =>
+      when(col(s"__b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce[Column](_.bitwiseOR(_))
+    agg.select(col(idCol), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= maxHamming, found via
+    * 4×16-bit block LSH (two fingerprints within hamming d<=3 share at least
+    * one of 4 blocks exactly — pigeonhole), then exact popcount verify.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, shingleN: Int, maxHamming: Int): DataFrame = {
+    require(maxHamming < 4, "block LSH with 4 blocks guarantees recall only for hamming <= 3")
+    val fps = simhash(wordShingles(df, idCol, textCol, shingleN), idCol)
+    val blocks = fps.select(
+      col(idCol), col("simhash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("blk"), shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("key"))
+      }: _*)).as("bk"))
+      .select(col(idCol), col("simhash"), col("bk.blk"), col("bk.key"))
+    val cand = blocks.as("x").join(blocks.as("y"), Seq("blk", "key"))
+      .where(col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(
+        col(s"x.$idCol").as("id1"), col(s"y.$idCol").as("id2"),
+        col("x.simhash").as("__f1"), col("y.simhash").as("__f2"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("__f1").bitwiseXOR(col("__f2"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
+  }
+}

@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate/exact nearest-neighbor search over an embedding column
+  * (`array<float>`), DataFrame-native:
+  *
+  *  - [[bruteForceTopK]] — exact cosine top-k: broadcast the (small) query
+  *    set against the corpus; dot products via `aggregate(zip_with(...))`
+  *    higher-order functions (codegen'd, no UDF). O(|Q|·|corpus|) — the
+  *    baseline and the verifier for approximate variants.
+  *  - [[lshTopK]] — random-hyperplane (sign) LSH: `numBits` fixed
+  *    pseudo-random hyperplanes (seeded, data-independent) bucket the corpus;
+  *    queries probe only their own bucket. The 100 TB path: bucketing is one
+  *    shuffle; probe joins are equi-joins on the signature.
+  */
+object Similarity {
+
+  /** cosine(a, b) with double accumulation, index order (reproducible). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
+        lit(0.0), (acc, z) => acc + z)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Exact top-k cosine neighbors for each query vector. */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"), col("__rn").as("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (bit, dim):
+    * a sign in {-1, +1} derived from a splitmix-style integer hash — data
+    * independent, seed-stable, and cheap enough to inline per row.
+    */
+  private def planeSign(bit: Int, dim: Column): Column = {
+    val h = hash(lit(bit), dim, lit(20240142))
+    when(h.bitwiseAND(1) === 1, lit(1.0)).otherwise(lit(-1.0))
+  }
+
+  /** Sign-LSH signature of `numBits` bits for an embedding column. */
+  def signSignature(vec: Column, numBits: Int): Column = {
+    val proj = (0 until numBits).map { b =>
+      // dot(vec, plane_b) via index-aware aggregate
+      val dotExpr = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (v, i) => v.cast("double") * planeSign(b, i)),
+        lit(0.0), (acc, z) => acc + z)
+      when(dotExpr > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    proj.reduce[Column](_.bitwiseOR(_))
+  }
+
+  /** LSH-bucketed approximate top-k: probe only the query's own bucket.
+    * Recall < 1 by construction; verified downstream against bruteForceTopK.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numBits: Int): DataFrame = {
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      signSignature(col(vecCol), numBits).as("__sig"))
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      signSignature(col(vecCol), numBits).as("__sig")))
+    val scored = c.join(q, Seq("__sig"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"), col("__rn").as("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a similarity threshold,
+    * LSH-bucketed (same-signature only) — the near-dup variant of lshTopK.
+    */
+  def cosineNearDup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numBits: Int,
+      threshold: Double): DataFrame = {
+    val sigged = df.select(
+      col(idCol), col(vecCol).as("__v"),
+      signSignature(col(vecCol), numBits).as("__sig"))
+    sigged.as("x").join(sigged.as("y"), Seq("__sig"))
+      .where(col(s"x.$idCol") < col(s"y.$idCol"))
+      .withColumn("cos", cosine(col("x.__v"), col("y.__v")))
+      .where(col("cos") >= threshold)
+      .select(col(s"x.$idCol").as("id1"), col(s"y.$idCol").as("id2"), round(col("cos"), 4).as("cos"))
+  }
+}

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.RollingHash
+
+/** Text-analysis operators for training-data curation, all pure column
+  * expressions (whole-stage codegen, no UDFs):
+  * token counting (whitespace + BPE-ish regex), quality heuristics,
+  * stopword-ratio language scoring, and rolling-hash fingerprints.
+  */
+object TextStats {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+
+  /** BPE-ish subword token estimate: word-initial pieces + punctuation +
+    * digit runs, via a GPT-2-style pretokenizer regex. An estimate, not a
+    * real BPE merge — but deterministic and cheap at 100 TB.
+    */
+  def bpeTokenEstimate(text: Column): Column =
+    size(filter(
+      split(text, """(?=[ ])|(?<=[^A-Za-z0-9])(?=[A-Za-z0-9])|(?<=[A-Za-z0-9])(?=[^A-Za-z0-9 ])"""),
+      s => length(trim(s)) > 0)).cast("long")
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      round(
+        (length(text) - length(regexp_replace(text, """[\p{Punct}]""", ""))).cast("double")
+          / length(text), 6))
+
+  private val EnglishStopwords =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as")
+
+  /** Fraction of whitespace words that are (lowercased) English stopwords. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    val words = split(lower(trim(text)), "\\s+")
+    when(size(words) === 0, lit(0.0)).otherwise(
+      round(
+        size(filter(words, w => w.isin(stopwords: _*)))
+          .cast("double") / size(words), 6))
+  }
+
+  /** Mean word length — a cheap quality signal (gibberish skews high/low). */
+  def meanWordLen(text: Column): Column = {
+    val words = split(trim(text), "\\s+")
+    when(size(words) === 0, lit(0.0)).otherwise(
+      round(
+        aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(words), 6))
+  }
+
+  /** Composite quality score in [0,1]: length band + stopword presence −
+    * punctuation excess. Heuristic in the Gopher/C4-filter family.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenOk = when(tokenCount(text).between(5, 100000), lit(0.4)).otherwise(lit(0.0))
+    val stopOk = when(stopwordRatio(text) >= 0.01, lit(0.3)).otherwise(lit(0.0))
+    val punctOk = when(punctRatio(text) <= 0.2, lit(0.3)).otherwise(lit(0.0))
+    round(lenOk + stopOk + punctOk, 6)
+  }
+
+  /** Language scoring by per-language stopword hit rate; argmax wins.
+    * N-gram-free heuristic (the container ships no langid model);
+    * deterministic and column-pure so it runs inside the scan stage.
+    */
+  private val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "se", "las"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "est", "un", "une", "dans"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "den", "mit", "für", "auf"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val words = split(lower(trim(text)), "\\s+")
+    LangStopwords.map { case (lang, sws) =>
+      lang -> when(size(words) === 0, lit(0.0)).otherwise(
+        size(filter(words, w => w.isin(sws: _*)))
+          .cast("double") / size(words))
+    }
+  }
+
+  /** Best-guess language id ("und" when no list scores > 0). */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val best = scores.map { case (lang, s) => struct(s.as("s"), lit(lang).as("l")) }
+    val top = greatest(best: _*)
+    when(top.getField("s") > 0, top.getField("l")).otherwise(lit("und"))
+  }
+
+  /** 61-bit rolling-hash document fingerprint (custom codegen Expression). */
+  def fingerprint(text: Column): Column = RollingHash.rolling_hash(text)
+
+  /** Convenience: full per-document stats frame. */
+  def documentStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      tokenCount(col(textCol)).as("n_tokens"),
+      bpeTokenEstimate(col(textCol)).as("n_bpe_est"),
+      punctRatio(col(textCol)).as("punct_ratio"),
+      stopwordRatio(col(textCol)).as("stopword_ratio"),
+      meanWordLen(col(textCol)).as("mean_word_len"),
+      qualityScore(col(textCol)).as("quality"),
+      langId(col(textCol)).as("lang_guess"),
+      fingerprint(col(textCol)).as("fingerprint"))
+}

@@ -1,0 +1,204 @@
+package graft.pit
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Point-in-time (as-of) join: for each entity row, attach the latest feature
+  * row with `featureTs <= entityTs` and (if a TTL is set)
+  * `featureTs >= entityTs - ttl`, ties on featureTs broken by the greatest
+  * `createdTs`. Left-outer semantics: entity rows with no in-window feature
+  * row keep null features.
+  *
+  * Semantics re-create the reference's point-in-time retrieval
+  * (Cimpress-MCP/feast: sdk/python/feast/infra/offline_stores/file.py:183-190
+  * pandas merge_asof path; bigquery.py:602-657 SQL path; tie-break documented
+  * at docs/user-guide/getting-training-features.md:63-67). Both TTL bounds are
+  * inclusive (bigquery.py:610-614; merge_asof tolerance).
+  *
+  * Two physical strategies, equal results:
+  *
+  *  - [[AsOfJoin.windowed]] — union-tag both sides, one hash shuffle on the
+  *    entity key, in-partition sort by (ts, tag, createdTs), then
+  *    `last(featureStruct, ignoreNulls = true)` over an unbounded-preceding
+  *    row frame. No row explosion, one shuffle: the scalable default for a
+  *    1000-executor / 10^12-row run. Feature rows sort *before* entity rows at
+  *    equal ts (tag 0 < 1) so the `<=` bound is inclusive.
+  *
+  *  - [[AsOfJoin.rangeJoin]] — the reference's SQL shape: ttl-bounded range
+  *    theta-join + `max(struct(ts, createdTs, features))` per entity row
+  *    (struct-max encodes the lexical (ts, created) tie-break in ONE hash
+  *    aggregate, replacing the reference's 3-CTE dedup/latest/cleaned dance),
+  *    then a left join back onto the entity frame. Explodes hot keys; kept as
+  *    a cross-check oracle and for tiny feature sides (broadcastable).
+  */
+final case class AsOfSpec(
+    keys: Seq[String],
+    leftTs: String,
+    rightTs: String,
+    createdTs: Option[String] = None,
+    ttlSeconds: Option[Long] = None,
+    features: Seq[String] = Nil)
+
+object AsOfJoin {
+
+  private val FEAT = "__graft_feat"
+  private val TAG = "__graft_tag"
+  private val TS = "__graft_ts"
+  private val SALT = "__graft_salt"
+
+  /** Single-shuffle sort-merge as-of join (strategy B — the default).
+    *
+    * Plan shape: union(entity+tag1, feature+tag0) → window
+    * partitionBy(keys[, salt]) orderBy(ts, tag, created) → last(feat,
+    * ignoreNulls) → filter(tag=1). Catalyst plans the window as one Exchange
+    * (hashpartitioning on the keys) + in-partition sort — the join never
+    * materializes an (entity × feature-history) blow-up, so it scales with
+    * input size, not match-candidate count.
+    *
+    * @param saltBuckets when > 1, hot-key mitigation: entity rows are spread
+    *   uniformly across `saltBuckets` sub-partitions of their key and feature
+    *   rows are replicated to every bucket, so one scorching entity no longer
+    *   pins a single task. Correctness is preserved because every entity row
+    *   still sees the full feature history of its key.
+    * @param hotKeys when non-empty (with saltBuckets > 1), only these key
+    *   tuples are salted (single-key column values); everything else takes the
+    *   unsalted path. Avoids replicating the whole feature side.
+    */
+  def windowed(
+      entity: DataFrame,
+      feature: DataFrame,
+      spec: AsOfSpec,
+      saltBuckets: Int = 1,
+      hotKeys: Seq[Any] = Nil): DataFrame = {
+    require(spec.keys.nonEmpty, "as-of join needs at least one key column")
+    val entityCols = entity.columns.toSeq
+    val featCols = spec.features
+
+    // Right side: keys + ts + created + packed feature struct.
+    val createdCol = spec.createdTs.map(col).getOrElse(lit(null).cast("timestamp"))
+    val featStruct = struct(
+      (col(spec.rightTs).as("__ts") +: featCols.map(col)): _*)
+    val rightBase = feature.select(
+      spec.keys.map(col) ++ Seq(
+        col(spec.rightTs).as(TS),
+        createdCol.as("__graft_created"),
+        featStruct.as(FEAT),
+        lit(0).as(TAG)): _*)
+
+    // Left side: keys + ts + null struct + original payload packed so the
+    // union schema stays narrow. Payload is built in the SAME projection —
+    // entity columns no longer exist afterwards.
+    val payload = struct(entityCols.map(col): _*)
+    val createdType = rightBase.schema("__graft_created").dataType
+    val leftBase = entity.select(
+      spec.keys.map(col) ++ Seq(
+        col(spec.leftTs).as(TS),
+        lit(null).cast(createdType).as("__graft_created"),
+        lit(null).cast(rightBase.schema(FEAT).dataType).as(FEAT),
+        lit(1).as(TAG),
+        payload.as("__graft_payload")): _*)
+    val rightWithPayload =
+      rightBase.withColumn("__graft_payload", lit(null).cast(leftBase.schema("__graft_payload").dataType))
+
+    val (l, r, partCols) =
+      if (saltBuckets > 1) saltSides(leftBase, rightWithPayload, spec, saltBuckets, hotKeys)
+      else (leftBase, rightWithPayload, spec.keys)
+
+    val unioned = l.unionByName(r)
+
+    // Order: ts asc, tag asc (features first at equal ts => inclusive <=),
+    // created asc (so `last` picks max created among equal ts).
+    val w = Window
+      .partitionBy(partCols.map(col): _*)
+      .orderBy(col(TS).asc, col(TAG).asc, col("__graft_created").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val picked = unioned
+      .withColumn("__graft_last", last(col(FEAT), ignoreNulls = true).over(w))
+      .where(col(TAG) === 1)
+
+    // TTL: null the pick when the feature ts is older than entityTs - ttl.
+    val ttlOk: Column = spec.ttlSeconds match {
+      case Some(ttl) =>
+        col("__graft_last.__ts") >= (col(TS) - expr(s"INTERVAL $ttl SECONDS"))
+      case None => lit(true)
+    }
+    val valid = picked.withColumn(
+      "__graft_pick", when(col("__graft_last").isNotNull && ttlOk, col("__graft_last")))
+
+    valid.select(
+      entityCols.map(c => col(s"__graft_payload.`$c`").as(c)) ++
+        featCols.map(f => col(s"__graft_pick.`$f`").as(f)): _*)
+  }
+
+  /** Salt the union sides: entity rows get a per-row bucket, feature rows of
+    * hot keys are replicated to all buckets (posexplode of a constant array).
+    */
+  private def saltSides(
+      left: DataFrame,
+      right: DataFrame,
+      spec: AsOfSpec,
+      buckets: Int,
+      hotKeys: Seq[Any]): (DataFrame, DataFrame, Seq[String]) = {
+    val isHot: Column =
+      if (hotKeys.isEmpty) lit(true)
+      else col(spec.keys.head).isin(hotKeys: _*)
+    val saltedLeft = left.withColumn(
+      SALT,
+      when(isHot, pmod(xxhash64(col(TS), col(TAG)), lit(buckets)).cast("int"))
+        .otherwise(lit(0)))
+    val saltedRight = right
+      .withColumn(
+        "__graft_salts",
+        when(isHot, sequence(lit(0), lit(buckets - 1))).otherwise(array(lit(0))))
+      .withColumn(SALT, explode(col("__graft_salts")))
+      .drop("__graft_salts")
+    (saltedLeft, saltedRight, spec.keys :+ SALT)
+  }
+
+  /** Range-join strategy (reference SQL shape, bigquery.py:551-694 compressed
+    * to one aggregate). Entity frame must carry a unique row id in `rowId`
+    * (use a natural key; never a nondeterministic id in verified output).
+    */
+  def rangeJoin(
+      entity: DataFrame,
+      feature: DataFrame,
+      spec: AsOfSpec,
+      rowId: String,
+      broadcastFeatures: Boolean = false): DataFrame = {
+    val e = entity.alias("e")
+    val fRaw = feature.select(
+      (spec.keys.map(col) ++
+        Seq(col(spec.rightTs).as(TS)) ++
+        spec.createdTs.map(c => col(c).as("__graft_created")).toSeq ++
+        spec.features.map(col)): _*)
+    val f0 = (if (broadcastFeatures) broadcast(fRaw) else fRaw).alias("f")
+
+    val keyCond = spec.keys
+      .map(k => col(s"e.`$k`") === col(s"f.`$k`"))
+      .reduce(_ && _)
+    val lowerBound: Column = spec.ttlSeconds match {
+      case Some(ttl) =>
+        col(s"f.$TS") >= (col(s"e.`${spec.leftTs}`") - expr(s"INTERVAL $ttl SECONDS"))
+      case None => lit(true)
+    }
+    val cond = keyCond && (col(s"f.$TS") <= col(s"e.`${spec.leftTs}`")) && lowerBound
+
+    val joined = e.join(f0, cond, "inner")
+    // max(struct(ts, created, features)) = latest ts, tie-break max created.
+    val pickStruct = struct(
+      (col(s"f.$TS").as("__ts") +:
+        spec.createdTs.map(_ => col("f.__graft_created").as("__created")).toSeq) ++
+        spec.features.map(c => col(s"f.`$c`").as(c)): _*)
+    val best = joined
+      .groupBy(col(s"e.`$rowId`").as(rowId))
+      .agg(max(pickStruct).as("__graft_pick"))
+
+    entity
+      .join(best, Seq(rowId), "left")
+      .select(
+        entity.columns.map(col).toSeq ++
+          spec.features.map(fc => col(s"__graft_pick.`$fc`").as(fc)): _*)
+  }
+}

@@ -1,0 +1,144 @@
+package graft.table
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iceberg-style snapshot-manifest table layer.
+  *
+  * No Iceberg runtime jar ships in this sandbox (offline coursier), so the
+  * snapshot semantics the north rule needs — snapshot isolation, time-travel
+  * to a snapshot id, resumable per-partition checkpoints, and per-partition
+  * lineage/row-count/byte metrics — are provided by a minimal manifest layer:
+  * each commit writes parquet files into an immutable `data/<snapshotId>/`
+  * directory and appends a JSON manifest recording the file list + stats.
+  * Readers select files through a manifest, never by directory listing, so
+  * concurrent/failed writers can't corrupt a read (same contract as Iceberg's
+  * metadata tree, radically simplified). Swap-in point for a real Iceberg
+  * catalog is this trait boundary.
+  *
+  * Reference counterpart: the registry's materialization_intervals
+  * (Cimpress-MCP/feast registry.py:208-246) — the reference's only
+  * resume/checkpoint primitive — generalized to file-level lineage.
+  */
+final case class FileStat(path: String, rows: Long, bytes: Long)
+final case class Snapshot(
+    snapshotId: Long,
+    parentId: Option[Long],
+    files: Seq[FileStat],
+    // checkpoint payload: arbitrary key (e.g. interval id) -> done marker
+    watermark: Option[String]) {
+  def totalRows: Long = files.map(_.rows).sum
+  def totalBytes: Long = files.map(_.bytes).sum
+}
+
+object SnapshotTable {
+  def apply(root: String): SnapshotTable = new SnapshotTable(root)
+}
+
+final class SnapshotTable(val root: String) {
+  private def metaDir: Path = Paths.get(root, "meta")
+  private def manifestPath(id: Long): Path = metaDir.resolve(f"snap-$id%09d.json")
+  private def currentPtr: Path = metaDir.resolve("CURRENT")
+
+  /** Append a new snapshot: write df as parquet into a fresh immutable dir,
+    * collect per-file stats from the parquet footers (no data re-scan), then
+    * atomically publish the manifest. `numFiles` sizes the write parallelism
+    * (row-group/file sizing — reference loaders/ingest.py:51-79).
+    */
+  def commit(df: DataFrame, numFiles: Int = 0, watermark: Option[String] = None): Snapshot = {
+    Files.createDirectories(metaDir)
+    val parent = currentSnapshotId
+    val id = parent.getOrElse(0L) + 1L
+    val dataDir = Paths.get(root, "data", f"$id%09d")
+    val toWrite = if (numFiles > 0) df.repartition(numFiles) else df
+    toWrite.write.mode("errorifexists").parquet(dataDir.toString)
+
+    val files = listParquet(dataDir).map { p =>
+      FileStat(p.toString, parquetRowCount(p), Files.size(p))
+    }
+    val snap = Snapshot(id, parent, files, watermark)
+    val tmp = metaDir.resolve(s".snap-$id.tmp")
+    Files.write(tmp, toJson(snap).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath(id))
+    Files.write(
+      currentPtr, id.toString.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    snap
+  }
+
+  def currentSnapshotId: Option[Long] =
+    if (Files.exists(currentPtr))
+      Some(new String(Files.readAllBytes(currentPtr), StandardCharsets.UTF_8).trim.toLong)
+    else None
+
+  def snapshot(id: Long): Option[Snapshot] = {
+    val p = manifestPath(id)
+    if (Files.exists(p)) Some(fromJson(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
+    else None
+  }
+
+  def currentSnapshot: Option[Snapshot] = currentSnapshotId.flatMap(snapshot)
+
+  /** Manifest-selected read (time travel when `asOf` is set). Files are
+    * passed explicitly — the reader never lists directories, so partial
+    * writes from a crashed commit are invisible.
+    */
+  def read(spark: SparkSession, asOf: Option[Long] = None): DataFrame = {
+    val snap = asOf.flatMap(snapshot).orElse(currentSnapshot)
+      .getOrElse(throw new IllegalStateException(s"no snapshot in $root"))
+    spark.read.parquet(snap.files.map(_.path): _*)
+  }
+
+  /** Full snapshot chain, newest first (lineage). */
+  def history: Seq[Snapshot] =
+    currentSnapshotId.toSeq.flatMap { cur =>
+      Iterator.iterate(snapshot(cur))(s => s.flatMap(_.parentId).flatMap(snapshot))
+        .takeWhile(_.isDefined).flatten.toSeq
+    }
+
+  private def listParquet(dir: Path): Seq[Path] =
+    Files.walk(dir).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .toSeq.sortBy(_.toString)
+
+  /** Row count from the parquet footer only — no data scan. */
+  private def parquetRowCount(p: Path): Long = {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.toUri), new Configuration())
+    val r = ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  // -- tiny hand-rolled JSON (no extra deps available offline) --------------
+  private def esc(s: String) = s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+  }
+  private def toJson(s: Snapshot): String = {
+    val fs = s.files.map(f => s"""{"path":"${esc(f.path)}","rows":${f.rows},"bytes":${f.bytes}}""")
+      .mkString("[", ",", "]")
+    val par = s.parentId.map(_.toString).getOrElse("null")
+    val wm = s.watermark.map(w => "\"" + esc(w) + "\"").getOrElse("null")
+    s"""{"snapshotId":${s.snapshotId},"parentId":$par,"watermark":$wm,"files":$fs}"""
+  }
+  private def fromJson(j: String): Snapshot = {
+    def longField(k: String): Option[Long] =
+      s""""$k":\\s*(-?\\d+)""".r.findFirstMatchIn(j).map(_.group(1).toLong)
+    val id = longField("snapshotId").get
+    val parent = s""""parentId":\\s*(null|-?\\d+)""".r.findFirstMatchIn(j)
+      .map(_.group(1)).filter(_ != "null").map(_.toLong)
+    val wm = s""""watermark":\\s*"((?:[^"\\\\]|\\\\.)*)"""".r.findFirstMatchIn(j).map(_.group(1))
+    val fileRe = """\{"path":"((?:[^"\\]|\\.)*)","rows":(\d+),"bytes":(\d+)\}""".r
+    val files = fileRe.findAllMatchIn(j).map { m =>
+      FileStat(m.group(1).replace("\\\\", "\\").replace("\\\"", "\""), m.group(2).toLong, m.group(3).toLong)
+    }.toSeq
+    Snapshot(id, parent, files, wm)
+  }
+}
