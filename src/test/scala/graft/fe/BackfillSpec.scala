@@ -1,0 +1,102 @@
+package graft.fe
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.fixtures.TokenSeq
+import graft.table.SnapshotTable
+
+/** Resumable backfill + snapshot-table semantics: interval grid, crash/resume
+  * (completed intervals are skipped on re-run), per-partition lineage metrics,
+  * snapshot isolation and time travel — the Spark re-expression of the
+  * reference's materialization_intervals resume log (registry.py:208-246,
+  * feature_store.py:343-422).
+  */
+class BackfillSpec extends SparkSpec {
+
+  private def t(sec: Long): Timestamp = new Timestamp((TokenSeq.AnchorEpoch + sec) * 1000L)
+
+  private def freshDir(name: String): String = {
+    val d = Files.createTempDirectory(name)
+    d.toString
+  }
+
+  test("grid splits [start, end) into aligned intervals, last one clamped") {
+    val g = Backfill.grid(t(0), t(3600 * 5 + 100), 3600)
+    assert(g.size == 6)
+    assert(g.head == (t(0), t(3600)))
+    assert(g.last == (t(3600 * 5), t(3600 * 5 + 100)))
+  }
+
+  test("backfill materializes latest-per-key per interval with lineage metrics") {
+    val root = freshDir("snap")
+    val ckpt = s"${freshDir("ckpt")}/log.jsonl"
+    val src = TokenSeq.generate(spark, n = 9000, entities = 30)
+    val table = SnapshotTable(root)
+
+    val metrics = Backfill.run(spark, src, Seq("doc_id"), "event_timestamp",
+      Some("created_timestamp"), t(0), t(4 * 3600), 3600, table, ckpt)
+
+    assert(metrics.size == 4)
+    assert(metrics.forall(_.rows > 0))
+    assert(metrics.forall(_.bytes > 0))
+    assert(metrics.forall(_.partitions.nonEmpty), "per-partition lineage missing")
+    // per-partition counts roll up to the interval row count
+    metrics.foreach(m => assert(m.partitions.map(_._2).sum == m.rows))
+    // snapshots chain: 4 commits, history newest-first
+    val hist = table.history
+    assert(hist.size == 4)
+    assert(hist.map(_.snapshotId) == Seq(4L, 3L, 2L, 1L))
+    assert(hist.head.parentId.contains(3L))
+  }
+
+  test("resume skips completed intervals and completes the remainder") {
+    val root = freshDir("snap2")
+    val ckpt = s"${freshDir("ckpt2")}/log.jsonl"
+    val src = TokenSeq.generate(spark, n = 9000, entities = 30)
+    val table = SnapshotTable(root)
+
+    // first run: only the first 2 intervals (simulated partial run / crash)
+    val first = Backfill.run(spark, src, Seq("doc_id"), "event_timestamp",
+      Some("created_timestamp"), t(0), t(2 * 3600), 3600, table, ckpt)
+    assert(first.size == 2)
+
+    // resume over the FULL range: the 2 done intervals are skipped
+    val resumed = Backfill.run(spark, src, Seq("doc_id"), "event_timestamp",
+      Some("created_timestamp"), t(0), t(4 * 3600), 3600, table, ckpt)
+    assert(resumed.size == 2, "resume must only execute the missing intervals")
+    assert(resumed.map(_.intervalId).toSet.intersect(first.map(_.intervalId).toSet).isEmpty)
+
+    // idempotent: a third run over the same range executes nothing
+    val third = Backfill.run(spark, src, Seq("doc_id"), "event_timestamp",
+      Some("created_timestamp"), t(0), t(4 * 3600), 3600, table, ckpt)
+    assert(third.isEmpty)
+    assert(table.history.size == 4)
+  }
+
+  test("snapshot table: time travel reads exactly the as-of snapshot's rows") {
+    val root = freshDir("snap3")
+    val table = SnapshotTable(root)
+    import spark.implicits._
+    val s1 = table.commit(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    val s2 = table.commit(Seq((3, "c")).toDF("id", "v"))
+    assert(table.currentSnapshotId.contains(s2.snapshotId))
+    assert(table.read(spark, asOf = Some(s1.snapshotId)).count() == 2)
+    assert(table.read(spark).count() == 1)
+    // manifest stats come from parquet footers, no scan
+    assert(s1.totalRows == 2 && s2.totalRows == 1)
+    assert(s1.totalBytes > 0)
+  }
+
+  test("reader ignores files not in the manifest (crash-safe isolation)") {
+    val root = freshDir("snap4")
+    val table = SnapshotTable(root)
+    import spark.implicits._
+    table.commit(Seq((1, "a")).toDF("id", "v"))
+    // simulate a crashed writer: orphan parquet in a data dir with no manifest
+    Seq((99, "zz")).toDF("id", "v").write
+      .parquet(Paths.get(root, "data", "000000099").toString)
+    assert(table.read(spark).count() == 1, "orphan files must be invisible")
+  }
+}

@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Training-data curation ops vs independent oracles: exact & near dedup
+  * (Jaccard, MinHash+LSH, SimHash), similarity search (brute-force cosine,
+  * sign-LSH), and text analysis.
+  */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near dup of 1
+    (4L, "completely different content about spark catalyst optimizer internals here"),
+    (5L, "another unrelated document discussing parquet columnar file formats"),
+    (6L, "the quick brown fox jumps over the lazy dog near the river delta today")) // near dup of 1
+    .toDF("doc_id", "text")
+
+  private def naiveJaccard(a: String, b: String, n: Int): Double = {
+    def sh(s: String) = s.split(" ").sliding(n).map(_.mkString(" ")).toSet
+    val (x, y) = (sh(a), sh(b))
+    x.intersect(y).size.toDouble / x.union(y).size
+  }
+
+  test("exact dedup groups identical content, keeps min id") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) == 2L) // docs 1+2 collapse onto id 1
+    assert(out.keySet == Set(1L, 3L, 4L, 5L, 6L))
+  }
+
+  test("ngramJaccard matches the naive pairwise oracle") {
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = (for {
+      i <- texts.keys; j <- texts.keys if i < j
+      sim = naiveJaccard(texts(i), texts(j), 3) if sim >= 0.3
+    } yield (i, j) -> math.round(sim * 1e6) / 1e6).toMap
+    val got = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got == expected)
+    assert(got.contains((1L, 2L)) && got((1L, 2L)) == 1.0)
+  }
+
+  test("minhashLsh: exact duplicates always collide; scores are exact Jaccard") {
+    val got = Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 32, bands = 16, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // identical docs share every band — guaranteed candidate, jaccard 1.0
+    assert(got((1L, 2L)) == 1.0)
+    // verification is exact: every reported score equals naive Jaccard
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (((a, b), s) <- got)
+      assert(math.abs(s - naiveJaccard(texts(a), texts(b), 3)) < 1e-6)
+    // no false positives below threshold
+    assert(got.values.forall(_ >= 0.3))
+  }
+
+  test("simhashPairs: identical docs at hamming 0; reported hamming is exact") {
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", shingleN = 3, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got((1L, 2L)) == 0)
+    // cross-check against directly computed fingerprints
+    val fps = Dedup.simhash(Dedup.wordShingles(docs, "doc_id", "text", 3), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (((a, b), d) <- got)
+      assert(java.lang.Long.bitCount(fps(a) ^ fps(b)) == d)
+  }
+
+  private val vecs = {
+    val rnd = new scala.util.Random(7)
+    (0L until 40L).map { i =>
+      val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+      (i, base)
+    }
+  }
+
+  test("bruteForceTopK matches a naive cosine scan (ordering + scores)") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(df, df.where(col("vec_id") < 5), "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    val lookup = vecs.toMap
+    for (q <- 0L until 5L) {
+      val ranked = vecs.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(lookup(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(3)
+      ranked.zipWithIndex.foreach { case ((id, _), i) =>
+        assert(out((q, i + 1)) == id, s"query $q rank ${i + 1}")
+      }
+    }
+  }
+
+  test("lshTopK: a query always finds an identical vector (same bucket)") {
+    // corpus contains an exact copy of each query vector under a new id
+    val copies = vecs.take(5).map { case (i, v) => (i + 100L, v) }
+    val df = (vecs ++ copies).toDF("vec_id", "embedding")
+    val out = Similarity.lshTopK(df, df.where(col("vec_id") < 5), "vec_id", "embedding",
+      k = 1, numBits = 6)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    for (q <- 0L until 5L) {
+      val (nb, c) = out(q)
+      assert(nb == q + 100L, s"query $q: identical copy must be rank 1, got $nb")
+      assert(math.abs(c - 1.0) < 1e-3)
+    }
+  }
+
+  test("text stats: token count, stopword ratio, fingerprint determinism") {
+    val out = docs.select(
+      col("doc_id"),
+      TextStats.tokenCount(col("text")).as("n"),
+      TextStats.stopwordRatio(col("text")).as("sr"),
+      TextStats.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(out(1L)._1 == 14) // 14 whitespace tokens
+    assert(out(1L)._2 > 0.0 && out(1L)._2 < 1.0)
+    // identical text → identical fingerprint; different text → different
+    assert(out(1L)._3 == out(2L)._3)
+    assert(out(1L)._3 != out(4L)._3)
+  }
+}
