@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
 
 import graft.fe.Windows
 import graft.materialize.Materialize
-import graft.model.FieldMapping
+import graft.model.{BatchSource, Entity, Feature, FeatureView, FieldMapping, ValueType}
 import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
 import graft.pit.{AsOfJoin, AsOfSpec}
+import graft.table.SnapshotTable
 
 /** Driver contract: one `queries` entry per implemented operator (SURVEY.md
   * §2 + north-rule windowed-feature axis + training-data-pipeline ops), with
@@ -124,6 +125,23 @@ object SparkEntry {
       .select(col("probe_id"), col("lang"), col("src_doc"), col("tokens"))
   }
 
+  /** Late-materialized as-of join (the wide-payload strategy): the window
+    * sorts only (user_id, ts, event_id); value/props payloads are fetched
+    * afterwards by equi-join on the matched event ids.
+    */
+  private def q35LateAsof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(spark, dir, "events")
+    val entity = ev.where(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val feature = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("purchase_value"),
+        col("props").as("purchase_props"), col("event_id").as("purchase_event"))
+    AsOfJoin.windowedLate(entity, feature,
+      AsOfSpec(Seq("user_id"), "ts", "ts", Some("purchase_event"), Some(12L * 3600),
+        Seq("purchase_value", "purchase_props")),
+      rowId = "purchase_event")
+  }
+
   // -- materialization / latest-per-key ---------------------------------
 
   /** A1/A2: latest event per user (max_by struct aggregate). */
@@ -229,7 +247,95 @@ object SparkEntry {
       emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", k = 5)
   }
 
+  // -- sources / sinks / table layer ------------------------------------
+
+  /** S7+F4: date-partitioned parquet sink, then a partition-pruned read-back
+    * aggregate (the write.partitionBy + read-side pruning round trip).
+    */
+  private def q27DateSink(spark: SparkSession, dir: String): DataFrame = {
+    val out = "/tmp/graft_verify_sink/q27"
+    tbl(spark, dir, "events")
+      .withColumn("date", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("date").parquet(out)
+    spark.read.parquet(out)
+      .where(col("date").between(lit("2024-01-05"), lit("2024-01-12")))
+      .groupBy(col("date"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(date_format(col("date"), "yyyy-MM-dd").as("date"),
+        col("n_events"), col("sum_value")) // string date: engine-neutral hashing
+  }
+
+  /** S6/S8: CSV ingest round trip — write with sized parallelism, read back
+    * with an explicit schema, aggregate per key.
+    */
+  private def q28CsvIngest(spark: SparkSession, dir: String): DataFrame = {
+    val out = "/tmp/graft_verify_sink/q28"
+    val li = tbl(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+    li.repartition(8).write.mode("overwrite").option("header", "true").csv(out)
+    spark.read.option("header", "true").schema(li.schema).csv(out)
+      .groupBy(col("l_orderkey").as("order_key"))
+      .agg(count(lit(1)).as("n_lines"), round(sum(col("l_quantity")), 4).as("sum_qty"))
+  }
+
+  /** A2/W1: the reference's SQL-path latest (ROW_NUMBER()=1 window) —
+    * cross-checks the max_by aggregate variant of q02.
+    */
+  private def q29LatestWindowed(spark: SparkSession, dir: String): DataFrame =
+    Materialize.latestPerKeyWindowed(
+      tbl(spark, dir, "events"), Seq("user_id"), "ts", ties = Seq("event_id"))
+
+  /** Facade end-to-end (P1/P4/P7/S5/J4): registry-driven historical
+    * retrieval through the public FeatureStore API — source scan, field
+    * mapping (value→purchase_value), entity-bounds scan pruning, ttl as-of
+    * join, ref validation.
+    */
+  private def q30FeatureStore(spark: SparkSession, dir: String): DataFrame = {
+    val view = FeatureView(
+      "purchases",
+      entities = Seq(Entity("user", ValueType.INT64, joinKey = Some("user_id"))),
+      features = Seq(Feature("purchase_value", ValueType.DOUBLE)),
+      source = BatchSource(s"$dir/events.parquet", eventTimestampColumn = "ts",
+        createdTimestampColumn = Some("event_id"),
+        fieldMapping = Map("value" -> "purchase_value")),
+      ttlSeconds = Some(8L * 3600))
+    val store = new FeatureStore(spark, Map("purchases" -> view))
+    val entity = tbl(spark, dir, "events").where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    store.getHistoricalFeatures(entity, Seq("purchases:purchase_value"), entityTsColumn = "ts")
+  }
+
+  /** Snapshot-table layer: commit latest-per-key as snapshot 1, commit a
+    * filtered overwrite as snapshot 2, then TIME-TRAVEL read snapshot 1 —
+    * manifest-selected files only, so the result must equal snapshot 1.
+    */
+  private def q31Snapshot(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    val t = SnapshotTable(root)
+    val latest = Materialize.latestPerKey(
+      tbl(spark, dir, "events"), Seq("user_id"), "ts", ties = Seq("event_id"))
+    t.commit(latest, numFiles = 4)
+    t.commit(latest.where(col("user_id") % 2 === 0), numFiles = 2)
+    t.read(spark, asOf = Some(1L))
+  }
+
+  /** Punctuation-ratio quality signal (oracled per char counts). */
+  private def q33PunctRatio(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"), TextStats.punctRatio(col("text")).as("punct_ratio"))
+
   // -- rows-only operators (no exact SQL oracle) -------------------------
+
+  /** Embedding-cosine near-duplicate pairs via sign-LSH buckets. */
+  private def q32CosineNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDup(tbl(spark, dir, "embeddings"), "vec_id", "embedding",
+      numBits = 4, threshold = 0.2)
+
+  /** BPE-ish subword token estimate (GPT-2-style pretokenizer regex). */
+  private def q34BpeTokens(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"), TextStats.bpeTokenEstimate(col("text")).as("n_bpe"))
+
 
   private def q22MinhashLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(tbl(spark, dir, "documents"), "doc_id", "text",
@@ -280,7 +386,16 @@ object SparkEntry {
     "q23_simhash_pairs" -> (q23SimhashPairs _),
     "q24_ann_lsh" -> (q24AnnLsh _),
     "q25_lang_id" -> (q25LangId _),
-    "q26_multimodal" -> (q26Multimodal _))
+    "q26_multimodal" -> (q26Multimodal _),
+    "q27_date_sink" -> (q27DateSink _),
+    "q28_csv_ingest" -> (q28CsvIngest _),
+    "q29_latest_windowed" -> (q29LatestWindowed _),
+    "q30_feature_store" -> (q30FeatureStore _),
+    "q31_snapshot" -> (q31Snapshot _),
+    "q32_cosine_neardup" -> (q32CosineNearDup _),
+    "q33_punct_ratio" -> (q33PunctRatio _),
+    "q34_bpe_tokens" -> (q34BpeTokens _),
+    "q35_late_asof" -> (q35LateAsof _))
 
   /** DuckDB oracles. Keys absent here (q22-q26) are LSH/heuristic/stub ops
     * whose exact output is not ANSI-SQL-expressible; the driver records a
@@ -448,5 +563,46 @@ object SparkEntry {
         |  CAST(COUNT(*) OVER w AS BIGINT) AS rolling_cnt
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
-        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin)
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q27_date_sink" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS date, count(*) AS n_events,
+        |  round(sum(value), 4) AS sum_value
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-12'
+        |GROUP BY 1""".stripMargin,
+    "q28_csv_ingest" ->
+      """SELECT l_orderkey AS order_key, count(*) AS n_lines,
+        |  round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q29_latest_windowed" ->
+      """SELECT user_id, event_id, ts, event_type, value, props FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+    "q30_feature_store" ->
+      """WITH ent AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |feat AS (SELECT event_id AS f_id, user_id, ts AS f_ts, value FROM events),
+        |j AS (SELECT e.event_id, e.user_id, e.ts, f.value,
+        |        ROW_NUMBER() OVER (PARTITION BY e.event_id ORDER BY f.f_ts DESC, f.f_id DESC) rn
+        |      FROM ent e LEFT JOIN feat f ON e.user_id = f.user_id
+        |        AND f.f_ts <= e.ts AND f.f_ts >= e.ts - INTERVAL 8 HOUR)
+        |SELECT event_id, user_id, ts, value AS purchase_value FROM j WHERE rn = 1""".stripMargin,
+    "q31_snapshot" ->
+      """SELECT user_id, event_id, ts, event_type, value, props FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+    "q33_punct_ratio" ->
+      """SELECT doc_id,
+        |  round((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+        |    / CAST(length(text) AS DOUBLE), 6) AS punct_ratio
+        |FROM documents""".stripMargin,
+    "q35_late_asof" ->
+      """WITH ent AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'),
+        |feat AS (SELECT event_id AS pe, user_id, ts AS f_ts, value, props FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT e.event_id, e.user_id, e.ts, f.pe, f.value, f.props,
+        |        ROW_NUMBER() OVER (PARTITION BY e.event_id ORDER BY f.f_ts DESC, f.pe DESC) rn
+        |      FROM ent e LEFT JOIN feat f ON e.user_id = f.user_id
+        |        AND f.f_ts <= e.ts AND f.f_ts >= e.ts - INTERVAL 12 HOUR)
+        |SELECT event_id, user_id, ts, pe AS purchase_event,
+        |  value AS purchase_value, props AS purchase_props
+        |FROM j WHERE rn = 1""".stripMargin)
 }

@@ -54,6 +54,7 @@ object TokenSeq {
       j => pmod(xxhash64(col("id"), j, lit(seed)), lit(50257L)).cast("int"))
 
     base
+      .withColumn("seq_id", col("id")) // stable unique row key (late-materialization fetch key)
       .withColumn("doc_id", concat(lit("doc_"), ent.cast("string")))
       .withColumn("n_tok", nTok)
       .withColumn("tokens", tokens)
@@ -62,16 +63,29 @@ object TokenSeq {
         (h(5) % 4 + 1).cast("int")))
       .withColumn("event_timestamp", eventTs)
       .withColumn("created_timestamp", createdTs)
-      .select("doc_id", "tokens", "n_tok", "source", "event_timestamp", "created_timestamp")
+      // input_hint column order first; seq_id appended last
+      .select("doc_id", "tokens", "n_tok", "source",
+        "event_timestamp", "created_timestamp", "seq_id")
   }
 
   /** Entity frame for retrieval over a generated table: per entity, probe
     * timestamps on and off the feature grid (before-first → null-fill,
     * beyond-ttl → expiry, exact boundaries → inclusive-bound coverage).
     */
-  def entityProbes(spark: SparkSession, entities: Int, probesPerEntity: Int, seed: Long = 42L): DataFrame = {
+  def entityProbes(
+      spark: SparkSession,
+      entities: Int,
+      probesPerEntity: Int,
+      seed: Long = 42L,
+      hotSharePct: Int = 0): DataFrame = {
+    val uniform = col("id") % entities
+    val ent =
+      if (hotSharePct > 0)
+        when(pmod(xxhash64(col("id"), lit(seed), lit(7)), lit(100)) < hotSharePct,
+          lit(0L)).otherwise(uniform)
+      else uniform
     spark.range(entities.toLong * probesPerEntity)
-      .withColumn("doc_id", concat(lit("doc_"), (col("id") % entities).cast("string")))
+      .withColumn("doc_id", concat(lit("doc_"), ent.cast("string")))
       .withColumn(
         "event_timestamp",
         timestamp_seconds(

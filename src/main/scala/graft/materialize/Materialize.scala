@@ -65,10 +65,13 @@ object Materialize {
 
   /** Entity-frame timestamp bounds (bigquery.py:415-434): one tiny agg job
     * whose result is injected as scan-pruning literals on the feature side.
+    * Values are whatever the timestamp column yields (java.sql.Timestamp for
+    * TIMESTAMP, java.time.LocalDateTime for TIMESTAMP_NTZ) — `lit` accepts
+    * both, so downstream pruning stays type-exact.
     */
-  def timestampBounds(entity: DataFrame, ts: String): (java.sql.Timestamp, java.sql.Timestamp) = {
+  def timestampBounds(entity: DataFrame, ts: String): (Any, Any) = {
     val row = entity.agg(min(col(ts)), max(col(ts))).head()
-    (row.getTimestamp(0), row.getTimestamp(1))
+    (row.get(0), row.get(1))
   }
 
   /** Prune a feature frame to [minEntityTs - ttl, maxEntityTs] before an
@@ -77,7 +80,7 @@ object Materialize {
   def pruneToEntityRange(
       feature: DataFrame,
       featureTs: String,
-      bounds: (java.sql.Timestamp, java.sql.Timestamp),
+      bounds: (Any, Any),
       ttlSeconds: Option[Long]): DataFrame = {
     val (lo, hi) = bounds
     val lower: Column = ttlSeconds match {

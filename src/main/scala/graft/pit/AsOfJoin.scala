@@ -157,6 +157,46 @@ object AsOfJoin {
     (saltedLeft, saltedRight, spec.keys :+ SALT)
   }
 
+  /** Late-materialized windowed as-of join: the shuffle/sort runs on a
+    * NARROW projection (keys, ts, created, rowId); wide feature columns are
+    * fetched afterwards by an equi-join on `rowId` against the original
+    * feature frame, pruned by a broadcast semi-join of the matched ids.
+    *
+    * Shuffle and sort volume stay O(narrow bytes) regardless of payload
+    * width — at 100 TB with ~KB token arrays per row this is the difference
+    * between moving ~50 B/row twice and moving the full payload through
+    * every exchange and sort (measured locally: the wide-through-the-window
+    * plan is I/O-bound and stops scaling with cores; this one scales).
+    *
+    * `rowId` must uniquely identify feature rows (a stable table key, e.g.
+    * a sequence id — never a nondeterministically generated id). When the
+    * matched-id set is too large to broadcast, pass
+    * `broadcastFetch = false`: the fetch becomes a shuffle equi-join —
+    * still far cheaper than sorting wide rows inside the window.
+    */
+  def windowedLate(
+      entity: DataFrame,
+      feature: DataFrame,
+      spec: AsOfSpec,
+      rowId: String,
+      saltBuckets: Int = 1,
+      hotKeys: Seq[Any] = Nil,
+      broadcastFetch: Boolean = true): DataFrame = {
+    val narrowFeature = feature.select(
+      (spec.keys ++ Seq(spec.rightTs) ++ spec.createdTs.toSeq :+ rowId)
+        .distinct.map(col): _*)
+    val matched = windowed(entity, narrowFeature, spec.copy(features = Seq(rowId)),
+      saltBuckets, hotKeys)
+    val payload = feature.select((rowId +: spec.features).distinct.map(col): _*)
+    val pruned =
+      if (broadcastFetch)
+        payload.join(
+          broadcast(matched.select(col(rowId)).na.drop.distinct()),
+          Seq(rowId), "left_semi")
+      else payload
+    matched.join(pruned, Seq(rowId), "left")
+  }
+
   /** Range-join strategy (reference SQL shape, bigquery.py:551-694 compressed
     * to one aggregate). Entity frame must carry a unique row id in `rowId`
     * (use a natural key; never a nondeterministic id in verified output).

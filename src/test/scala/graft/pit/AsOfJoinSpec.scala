@@ -113,6 +113,21 @@ class AsOfJoinSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("windowedLate (late-materialized payload fetch) ≡ windowed, incl. salted + shuffle fetch") {
+    val (ents, feats) = scenario(23L, nEnt = 80, nFeat = 120, nKeys = 6)
+    val featDf = feats.zipWithIndex
+      .map { case (f, i) => (i.toLong, f.key, f.fts, f.created, f.v) }
+      .toDF("fid", "key", "fts", "created", "v")
+    val expected = runWindowed(ents, feats, Some(3600L))
+    def late(salt: Int, bcast: Boolean) = collectResult(
+      AsOfJoin.windowedLate(ents.toDF(), featDf, spec(Some(3600L)), rowId = "fid",
+        saltBuckets = salt, hotKeys = if (salt > 1) Seq("k0") else Nil,
+        broadcastFetch = bcast))
+    assert(late(1, true) == expected)
+    assert(late(8, true) == expected)
+    assert(late(1, false) == expected)
+  }
+
   test("max_age expiry: feature outside ttl yields null (not the stale value)") {
     val ents = Seq(Ent(1, "a", t(100)))
     val feats = Seq(Feat("a", t(10), t(10), 5.0)) // 90 min old

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.fe.Windows
+
+/** Structured Streaming counterparts vs their batch equivalents: feed a
+  * bounded MemoryStream, run to completion, and assert the streaming result
+  * equals the batch operator on the same rows (the offline/online
+  * consistency contract of the reference's
+  * test_offline_online_store_consistency.py, re-expressed for windows).
+  */
+case class Ev(user_id: Long, ts: Timestamp, value: Double)
+
+class StreamFeaturesSpec extends SparkSpec {
+
+  private def events: Seq[Ev] = {
+    val base = tsOf("2024-01-01T00:00:00Z").getTime
+    for {
+      u <- 0L until 4L
+      i <- 0 until 25
+    } yield Ev(u, new Timestamp(base + (i * 97 + u * 13) * 1000L), (i % 7) + 0.5)
+  }
+
+  private def runStream(out: org.apache.spark.sql.DataFrame, name: String) = {
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("streaming tumbling equals batch tumbling") {
+    import spark.implicits._
+    val mem = MemoryStream[Ev](spark)
+    mem.addData(events: _*)
+    val streamed = runStream(
+      StreamFeatures.tumbling(mem.toDF(), "user_id", "ts", "10 minutes",
+        watermarkDelay = "1 hour", valueCol = "value"),
+      "t_tumbling")
+    val batch = Windows.tumbling(events.toDF(), Seq("user_id"), "ts", 600,
+      Seq(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value")))
+    val s = streamed.orderBy("user_id", "win_start").collect().toSeq
+    val b = batch.orderBy("user_id", "win_start").collect().toSeq
+    assert(s.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))) ==
+      b.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))))
+  }
+
+  test("streaming session_window equals batch sessionization") {
+    import spark.implicits._
+    val mem = MemoryStream[Ev](spark)
+    mem.addData(events: _*)
+    val streamed = runStream(
+      StreamFeatures.sessionize(mem.toDF(), "user_id", "ts", gap = "3 minutes",
+        watermarkDelay = "1 hour", valueCol = "value"),
+      "t_session")
+    val batch = Windows.sessionFeatures(events.toDF(), Seq("user_id"), "ts",
+      gapSeconds = 180, valueCol = "value")
+    // session_window end = last_ts + gap (exclusive); batch session_end =
+    // last event ts. Compare on (user, start, n, sum) and check the offset.
+    val s = streamed.orderBy("user_id", "session_start")
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+      .collect().toSeq
+    val b = batch.orderBy("user_id", "session_start")
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+      .collect().toSeq
+    assert(s.size == b.size)
+    s.zip(b).foreach { case (sr, br) =>
+      assert(sr.getLong(0) == br.getLong(0))
+      assert(sr.getLong(1) == br.getLong(1), "session starts agree")
+      assert(sr.getLong(2) == br.getLong(2) + 180, "stream end = batch last ts + gap")
+      assert(sr.getLong(3) == br.getLong(3))
+      assert(math.abs(sr.getDouble(4) - br.getDouble(4)) < 1e-6)
+    }
+  }
+
+  test("streaming latest-per-key foreachBatch sink materializes the maximum ts per key") {
+    import spark.implicits._
+    val mem = MemoryStream[Ev](spark)
+    mem.addData(events: _*)
+    val sink = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
+    val q = StreamFeatures.latestToSink(mem.toDF(), Seq("user_id"), "ts",
+      s"$sink/data", s"$ckpt/cp").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(s"$sink/data")
+      .groupBy("user_id").agg(max("ts").as("ts"))
+      .orderBy("user_id").collect().toSeq
+    val want = events.groupBy(_.user_id).view.mapValues(_.map(_.ts.getTime).max).toMap
+    assert(got.map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap == want)
+  }
+}

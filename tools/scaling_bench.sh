@@ -1,0 +1,37 @@
+#!/bin/bash
+# North-rule scaling evidence: same job, same input, local[8] vs local[32],
+# each level a fresh spark-submit JVM. Writes BENCH/BASELINE.md.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+JAR=target/scala-2.13/feastspark_2.13-0.1.0.jar
+DATA=${SCALING_DATA_DIR:-/tmp/graft_scaling}
+N=${SCALING_ROWS:-80000000}
+ENTITIES=${SCALING_ENTITIES:-50000}
+PROBES=${SCALING_PROBES:-2000000}
+
+mkdir -p "$DATA"
+
+submit() { # cores, then args...
+  local cores=$1; shift
+  # 16g heap, not "all the RAM": G1 on a huge heap with 32 mutator threads
+  # collapses throughput (measured 33s -> 75-205s on the same job); size the
+  # single-JVM heap like a real per-executor heap.
+  /opt/spark/bin/spark-submit \
+    --master "local[$cores]" \
+    --driver-memory 16g \
+    --conf spark.sql.session.timeZone=UTC \
+    --conf spark.ui.enabled=false \
+    --class graft.ScalingBench "$JAR" "$@" 2>"$DATA/spark_stderr.log" ||
+    { echo "spark-submit failed; tail of stderr:"; tail -30 "$DATA/spark_stderr.log"; exit 1; }
+}
+
+if [ ! -d "$DATA/sequences" ]; then
+  submit 32 gen "$DATA" "$N" "$ENTITIES" "$PROBES"
+fi
+# N=2 vs 4N=8 (both below the VM's memory-bandwidth knee — see the report's
+# hardware-probe section); local[32] recorded as an extra data point.
+submit 2  run "$DATA" 2  "$DATA/run2.json"
+submit 8  run "$DATA" 8  "$DATA/run8.json"
+submit 32 run "$DATA" 32 "$DATA/run32.json"
+submit 1  report "$DATA/run2.json" "$DATA/run8.json" BENCH/BASELINE.md "$DATA/run32.json"
