@@ -324,6 +324,23 @@ object SparkEntry {
     tbl(spark, dir, "documents")
       .select(col("doc_id"), TextStats.punctRatio(col("text")).as("punct_ratio"))
 
+  /** Online-response statuses (J7 + FieldStatus): point lookup of the
+    * latest value per requested key as of a fixed time, with
+    * PRESENT / NOT_FOUND / OUTSIDE_MAX_AGE semantics; probe keys include
+    * ids with no history at all.
+    */
+  private def q36OnlineStatus(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(spark, dir, "events")
+    val keys = spark.range(-5, 155).select(col("id").as("user_id"))
+    Materialize.lookupLatest(
+      ev.select(col("user_id"), col("ts"), col("value"), col("event_id")),
+      keys, Seq("user_id"), "ts", "value",
+      ts("2024-01-20T00:00:00Z"), Some(2L * 3600), ties = Seq("event_id"))
+      .select(col("user_id"),
+        unix_timestamp(col("ts")).cast("long").as("last_ts"),
+        col("value"), col("status"))
+  }
+
   // -- rows-only operators (no exact SQL oracle) -------------------------
 
   /** Embedding-cosine near-duplicate pairs via sign-LSH buckets. */
@@ -395,7 +412,8 @@ object SparkEntry {
     "q32_cosine_neardup" -> (q32CosineNearDup _),
     "q33_punct_ratio" -> (q33PunctRatio _),
     "q34_bpe_tokens" -> (q34BpeTokens _),
-    "q35_late_asof" -> (q35LateAsof _))
+    "q35_late_asof" -> (q35LateAsof _),
+    "q36_online_status" -> (q36OnlineStatus _))
 
   /** DuckDB oracles. Keys absent here (q22-q26) are LSH/heuristic/stub ops
     * whose exact output is not ANSI-SQL-expressible; the driver records a
@@ -604,5 +622,18 @@ object SparkEntry {
         |        AND f.f_ts <= e.ts AND f.f_ts >= e.ts - INTERVAL 12 HOUR)
         |SELECT event_id, user_id, ts, pe AS purchase_event,
         |  value AS purchase_value, props AS purchase_props
-        |FROM j WHERE rn = 1""".stripMargin)
+        |FROM j WHERE rn = 1""".stripMargin,
+    "q36_online_status" ->
+      """WITH keys AS (SELECT CAST(range AS BIGINT) AS user_id FROM range(-5, 155)),
+        |latest AS (
+        |  SELECT user_id, ts, value FROM (
+        |    SELECT user_id, ts, value,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+        |    FROM events WHERE ts <= TIMESTAMP '2024-01-20 00:00:00') WHERE rn = 1)
+        |SELECT k.user_id, CAST(floor(epoch(l.ts)) AS BIGINT) AS last_ts, l.value,
+        |  CASE WHEN l.ts IS NULL THEN 'NOT_FOUND'
+        |       WHEN l.ts < TIMESTAMP '2024-01-20 00:00:00' - INTERVAL 2 HOUR THEN 'OUTSIDE_MAX_AGE'
+        |       WHEN l.value IS NULL THEN 'NULL_VALUE'
+        |       ELSE 'PRESENT' END AS status
+        |FROM keys k LEFT JOIN latest l USING (user_id)""".stripMargin)
 }

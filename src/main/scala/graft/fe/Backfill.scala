@@ -49,6 +49,29 @@ object Backfill {
     }
   }
 
+  /** Incremental-materialization start (feast feature_store.py:343-422
+    * `materialize_incremental`): resume from the end of the most recent
+    * completed interval in the checkpoint log; with no history, look back
+    * `ttl` from `end` (unbounded ttl ⇒ epoch 0).
+    */
+  def incrementalStart(
+      checkpointPath: String,
+      end: Timestamp,
+      ttlSeconds: Option[Long]): Timestamp = {
+    val log = new CheckpointLog(checkpointPath)
+    val lastEnd = log.completed
+      .flatMap(_.split('_') match {
+        case Array(_, hi) => scala.util.Try(java.time.Instant.parse(hi).toEpochMilli).toOption
+        case _ => None
+      })
+    lastEnd.maxOption.map(new Timestamp(_)).getOrElse {
+      ttlSeconds match {
+        case Some(t) => new Timestamp(end.getTime - t * 1000L)
+        case None => new Timestamp(0L)
+      }
+    }
+  }
+
   /** Split [start, end) into aligned intervals of `stepSeconds`. */
   def grid(start: Timestamp, end: Timestamp, stepSeconds: Long): Seq[(Timestamp, Timestamp)] = {
     val s = start.getTime

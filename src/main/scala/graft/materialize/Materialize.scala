@@ -63,6 +63,47 @@ object Materialize {
     latestPerKey(bounded, keys, ts, createdTs)
   }
 
+  /** Online point-lookup emulation with per-row field status — the batch
+    * analogue of the reference's `get_online_features` response assembly
+    * (feast feature_store.py:578-616; statuses
+    * protos/feast/serving/ServingService.proto:96-114):
+    *
+    *  - NOT_FOUND: the key has no feature row at or before `asOf`;
+    *  - OUTSIDE_MAX_AGE: the latest row is older than `asOf - ttl`;
+    *  - NULL_VALUE: a row matched but the feature value is null;
+    *  - PRESENT: otherwise.
+    *
+    * `keys` drives the output (one row per requested key, reference
+    * semantics); the latest row per key is resolved from the full history.
+    * Plan: history filtered to `ts <= asOf` (pushed to the scan) → one
+    * latest-per-key hash aggregate → right-side lookup joined to the
+    * (usually broadcastable) key list.
+    */
+  def lookupLatest(
+      history: DataFrame,
+      keys: DataFrame,
+      keyCols: Seq[String],
+      ts: String,
+      valueCol: String,
+      asOf: java.sql.Timestamp,
+      ttlSeconds: Option[Long],
+      createdTs: Option[String] = None,
+      ties: Seq[String] = Nil): DataFrame = {
+    val latest = latestPerKey(
+      history.where(col(ts) <= lit(asOf)), keyCols, ts, createdTs, ties)
+    val joined = keys.join(latest, keyCols, "left")
+    val expired: Column = ttlSeconds match {
+      case Some(t) => col(ts) < lit(asOf) - expr(s"INTERVAL $t SECONDS")
+      case None => lit(false)
+    }
+    joined.withColumn(
+      "status",
+      when(col(ts).isNull, lit("NOT_FOUND"))
+        .when(expired, lit("OUTSIDE_MAX_AGE"))
+        .when(col(valueCol).isNull, lit("NULL_VALUE"))
+        .otherwise(lit("PRESENT")))
+  }
+
   /** Entity-frame timestamp bounds (bigquery.py:415-434): one tiny agg job
     * whose result is injected as scan-pruning literals on the feature side.
     * Values are whatever the timestamp column yields (java.sql.Timestamp for

@@ -80,6 +80,55 @@ object FieldMapping {
     else df.select(df.columns.map(c => col(c).as(mapping.getOrElse(c, c))).toSeq: _*)
 }
 
+/** Schema-driven inference, re-creating the reference's rules
+  * (inference.py:12-118, feature_view.py:262-294): event-timestamp column
+  * detection, feature-list inference from a source schema, and entity value
+  * types from their key columns.
+  */
+object Inference {
+  import org.apache.spark.sql.types.{StructType, TimestampNTZType, TimestampType}
+
+  private def isTimestamp(dt: DataType): Boolean =
+    dt == TimestampType || dt == TimestampNTZType
+
+  /** The event timestamp column: the column literally named
+    * `event_timestamp` if present (provider default, inference.py:71-77),
+    * else the UNIQUE timestamp-typed column; ambiguity or absence is an
+    * error (inference.py:62-118 raises the same way).
+    */
+  def eventTimestampColumn(schema: StructType): String = {
+    schema.fields.find(f => f.name == "event_timestamp" && isTimestamp(f.dataType))
+      .map(_.name)
+      .getOrElse {
+        schema.fields.filter(f => isTimestamp(f.dataType)) match {
+          case Array(one) => one.name
+          case Array() => throw new IllegalArgumentException(
+            "no timestamp-typed column to use as event_timestamp")
+          case many => throw new IllegalArgumentException(
+            s"ambiguous event timestamp: ${many.map(_.name).mkString(", ")}")
+        }
+      }
+  }
+
+  /** Features inferred from the source schema: every column except entity
+    * join keys, timestamp columns, and `__`-prefixed internals
+    * (feature_view.py:262-294).
+    */
+  def features(schema: StructType, entityKeys: Set[String]): Seq[Feature] =
+    schema.fields.toSeq
+      .filterNot(f => entityKeys.contains(f.name))
+      .filterNot(f => isTimestamp(f.dataType))
+      .filterNot(_.name.startsWith("__"))
+      .map(f => Feature(f.name, ValueType.fromSpark(f.dataType)))
+
+  /** Entity value type from its join-key column (inference.py:12-59). */
+  def entityType(schema: StructType, joinKey: String): ValueType =
+    ValueType.fromSpark(
+      schema.fields.find(_.name == joinKey)
+        .getOrElse(throw new IllegalArgumentException(s"no column '$joinKey'"))
+        .dataType)
+}
+
 /** Feature reference "view:feature" resolution + duplicate-output validation
   * (feature_store.py:636-681).
   */
