@@ -25,6 +25,26 @@ object ValueType {
   final case class ListOf(elem: ValueType) extends ValueType(ArrayType(elem.sparkType)) {
     require(!elem.isInstanceOf[ListOf], "only one list nesting level (type_map.py:154-159)")
   }
+  /** Proto-enum-style name ("INT32", "FLOAT_LIST", ... — Value.proto:26-46). */
+  def name(vt: ValueType): String = vt match {
+    case ListOf(e) => s"${name(e)}_LIST"
+    case other => other.toString
+  }
+
+  def fromName(s: String): ValueType =
+    if (s.endsWith("_LIST")) ListOf(fromName(s.stripSuffix("_LIST")))
+    else s match {
+      case "BYTES" => BYTES
+      case "STRING" => STRING
+      case "INT32" => INT32
+      case "INT64" => INT64
+      case "FLOAT" => FLOAT
+      case "DOUBLE" => DOUBLE
+      case "BOOL" => BOOL
+      case "UNIX_TIMESTAMP" => UNIX_TIMESTAMP
+      case other => throw new IllegalArgumentException(s"unknown value type '$other'")
+    }
+
   /** Infer a ValueType from a Spark column type (inference.py:12-59). */
   def fromSpark(dt: DataType): ValueType = dt match {
     case BinaryType => BYTES

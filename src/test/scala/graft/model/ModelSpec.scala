@@ -95,6 +95,32 @@ class ModelSpec extends SparkSpec {
     assert(got(5L) == ("NOT_FOUND", None))
   }
 
+  test("registry: apply/load round trip, upsert-by-name, value-type enum names") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_registry").toString
+    val reg = new Registry(spark, s"$dir/registry")
+    assert(reg.load().isEmpty)
+    val v1 = FeatureView(
+      "driver_stats",
+      entities = Seq(Entity("driver", ValueType.INT64, joinKey = Some("driver_id"))),
+      features = Seq(
+        Feature("conv_rate", ValueType.FLOAT),
+        Feature("tokens", ValueType.ListOf(ValueType.INT32))),
+      source = BatchSource("/data/driver.parquet", "event_timestamp",
+        createdTimestampColumn = Some("created"),
+        fieldMapping = Map("cr" -> "conv_rate")),
+      ttlSeconds = Some(7200L))
+    val v2 = FeatureView("cust", Seq(Entity("customer_id", ValueType.INT64)),
+      Seq(Feature("balance", ValueType.DOUBLE)), BatchSource("/data/c.parquet", "dt"))
+    reg.apply(Seq(v1, v2))
+    assert(reg.load() == Map("driver_stats" -> v1, "cust" -> v2))
+    // upsert: re-apply driver_stats with a new ttl; cust survives untouched
+    val v1b = v1.copy(ttlSeconds = Some(3600L))
+    reg.apply(Seq(v1b))
+    assert(reg.load() == Map("driver_stats" -> v1b, "cust" -> v2))
+    assert(ValueType.name(ValueType.ListOf(ValueType.INT32)) == "INT32_LIST")
+    assert(ValueType.fromName("FLOAT_LIST") == ValueType.ListOf(ValueType.FLOAT))
+  }
+
   test("incrementalStart resumes from the newest checkpointed interval end") {
     val dir = java.nio.file.Files.createTempDirectory("graft_incr").toString
     val path = s"$dir/checkpoints.jsonl"
