@@ -93,14 +93,12 @@ object ScalingBench {
     * 6. checksum aggregate (bit_xor of xxhash64 — order-independent,
     *    proves identical results across parallelism levels).
     */
-  def run(dataDir: String, cores: Int, outJson: String): Unit = {
-    // FIXED partition count across parallelism levels: identical physical
-    // plans and partition sizes at every level (cores only change how many
-    // tasks run at once), and 64 partitions keeps each narrow sort well
-    // under executor memory at the bench scale.
-    val spark = session(s"graft-scaling-$cores",
-      Map("spark.sql.shuffle.partitions" -> "64"))
-
+  /** One timed pass of the end-to-end pipeline over pre-written input.
+    * Returns (sequences, probeRows, checksum, elapsedSec). Shared by the
+    * scaling harness (spark-submit per level) and graft.Bench (per-round
+    * throughput figure).
+    */
+  def timedJob(spark: SparkSession, dataDir: String): (Long, Long, Long, Double) = {
     val seqs = spark.read.parquet(s"$dataDir/sequences")
     val probesDf = spark.read.parquet(s"$dataDir/probes")
     val nRows = seqs.count() // warm FS metadata; not part of the timed job
@@ -152,8 +150,17 @@ object ScalingBench {
       sum(col("n_tok")).as("tok_sum")).head()
 
     val elapsed = (System.nanoTime() - t0) / 1e9
-    val outRows = row.getLong(0)
-    val checksum = row.getLong(1)
+    (nRows, row.getLong(0), row.getLong(1), elapsed)
+  }
+
+  def run(dataDir: String, cores: Int, outJson: String): Unit = {
+    // FIXED partition count across parallelism levels: identical physical
+    // plans and partition sizes at every level (cores only change how many
+    // tasks run at once), and 64 partitions keeps each narrow sort well
+    // under executor memory at the bench scale.
+    val spark = session(s"graft-scaling-$cores",
+      Map("spark.sql.shuffle.partitions" -> "64"))
+    val (nRows, outRows, checksum, elapsed) = timedJob(spark, dataDir)
     val rate = nRows / elapsed
     val json =
       s"""{"cores":$cores,"elapsed_sec":$elapsed,"sequences":$nRows,""" +
