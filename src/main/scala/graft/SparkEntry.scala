@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.fe.Windows
 import graft.materialize.Materialize
 import graft.model.{BatchSource, Entity, Feature, FeatureView, FieldMapping, ValueType}
-import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ops.{Dedup, Multimodal, Similarity, TextStats, Tokens}
 import graft.pit.{AsOfJoin, AsOfSpec}
 import graft.table.SnapshotTable
 
@@ -341,6 +341,36 @@ object SparkEntry {
         col("value"), col("status"))
   }
 
+  /** Derived deterministic token arrays from document text (ascii codes of
+    * the first 64 chars) — the fixture pattern of q18, reused by the
+    * token-pipeline queries.
+    */
+  private def derivedTokens(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    docs.select(
+      col("doc_id"), col("lang"),
+      least(col("n_chars"), lit(64)).cast("int").as("n_tok"),
+      transform(
+        sequence(lit(1), least(col("n_chars"), lit(64)).cast("int")),
+        i => ascii(col("text").substr(i, lit(1)))).as("tokens"))
+  }
+
+  /** Greedy sequence packing (LLM pretraining pack-to-context-length):
+    * per-lang shards, doc_id order, 256-token packs.
+    */
+  private def q37PackSequences(spark: SparkSession, dir: String): DataFrame =
+    Tokens.packGreedy(derivedTokens(spark, dir), Seq("lang"), "doc_id",
+      "tokens", "n_tok", seqLen = 256)
+
+  /** Token n-gram corpus statistics: trigram counts >= 5. */
+  private def q38TokenNgrams(spark: SparkSession, dir: String): DataFrame =
+    Tokens.ngrams(derivedTokens(spark, dir), "tokens", n = 3)
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 5)
+      .select(element_at(col("gram"), 1).as("t1"),
+        element_at(col("gram"), 2).as("t2"),
+        element_at(col("gram"), 3).as("t3"), col("cnt"))
+
   // -- rows-only operators (no exact SQL oracle) -------------------------
 
   /** Embedding-cosine near-duplicate pairs via sign-LSH buckets. */
@@ -413,7 +443,9 @@ object SparkEntry {
     "q33_punct_ratio" -> (q33PunctRatio _),
     "q34_bpe_tokens" -> (q34BpeTokens _),
     "q35_late_asof" -> (q35LateAsof _),
-    "q36_online_status" -> (q36OnlineStatus _))
+    "q36_online_status" -> (q36OnlineStatus _),
+    "q37_pack_sequences" -> (q37PackSequences _),
+    "q38_token_ngrams" -> (q38TokenNgrams _))
 
   /** DuckDB oracles. Keys absent here (q22-q26) are LSH/heuristic/stub ops
     * whose exact output is not ANSI-SQL-expressible; the driver records a
@@ -635,5 +667,23 @@ object SparkEntry {
         |       WHEN l.ts < TIMESTAMP '2024-01-20 00:00:00' - INTERVAL 2 HOUR THEN 'OUTSIDE_MAX_AGE'
         |       WHEN l.value IS NULL THEN 'NULL_VALUE'
         |       ELSE 'PRESENT' END AS status
-        |FROM keys k LEFT JOIN latest l USING (user_id)""".stripMargin)
+        |FROM keys k LEFT JOIN latest l USING (user_id)""".stripMargin,
+    "q37_pack_sequences" ->
+      """WITH toks AS (SELECT doc_id, lang, CAST(least(n_chars, 64) AS INT) AS n,
+        |    list_transform(range(1, CAST(least(n_chars, 64) AS INT) + 1),
+        |      i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS INT)) AS t
+        |  FROM documents),
+        |c AS (SELECT *, SUM(n) OVER (PARTITION BY lang ORDER BY doc_id
+        |        ROWS UNBOUNDED PRECEDING) - n AS cum_start FROM toks)
+        |SELECT lang, CAST(floor(cum_start / 256) AS BIGINT) AS pack_id,
+        |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tok,
+        |  flatten(list(t ORDER BY doc_id)) AS packed
+        |FROM c GROUP BY 1, 2""".stripMargin,
+    "q38_token_ngrams" ->
+      """WITH toks AS (SELECT list_transform(range(1, CAST(least(n_chars, 64) AS INT) + 1),
+        |    i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS INT)) AS t
+        |  FROM documents),
+        |tri AS (SELECT t[CAST(i AS INT)] AS t1, t[CAST(i AS INT)+1] AS t2, t[CAST(i AS INT)+2] AS t3
+        |  FROM toks, UNNEST(range(1, len(t) - 1)) u(i) WHERE len(t) >= 3)
+        |SELECT t1, t2, t3, count(*) AS cnt FROM tri GROUP BY 1, 2, 3 HAVING count(*) >= 5""".stripMargin)
 }

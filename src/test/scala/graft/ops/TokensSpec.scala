@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Token-pipeline operators vs naive driver-side oracles: greedy packing
+  * invariants (token conservation, order preservation, start-offset
+  * bucketing), n-gram counts, truncate/pad shape.
+  */
+class TokensSpec extends SparkSpec {
+
+  private def docs(seed: Long, n: Int, shards: Int) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val len = rnd.nextInt(90) + 10
+      val toks = Array.fill(len)(rnd.nextInt(1000))
+      (i.toLong, s"s${i % shards}", toks, len)
+    }.toDF("doc_id", "shard", "tokens", "n_tok")
+  }
+
+  test("packGreedy conserves every token in order and buckets by start offset") {
+    val df = docs(7L, n = 120, shards = 3)
+    val seqLen = 256
+    val packed = Tokens.packGreedy(df, Seq("shard"), "doc_id", "tokens", "n_tok", seqLen)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getSeq[Int](4).toList)).toMap
+
+    // naive oracle: per shard, docs in doc_id order, cut by running start
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getSeq[Int](2).toList, r.getInt(3)))
+    val expected = rows.groupBy(_._2).flatMap { case (shard, ds) =>
+      var cum = 0L
+      ds.sortBy(_._1).map { case (_, _, toks, n) =>
+        val pid = cum / seqLen
+        cum += n
+        (shard, pid, toks, n)
+      }.groupBy { case (_, pid, _, _) => pid }.map { case (pid, group) =>
+        (shard, pid) -> (group.size.toLong, group.map(_._4.toLong).sum,
+          group.flatMap(_._3).toList)
+      }
+    }
+    assert(packed == expected)
+    // token conservation across all packs
+    assert(packed.values.map(_._2).sum == rows.map(_._4.toLong).sum)
+  }
+
+  test("ngrams emit exactly len-n+1 grams per doc; counts match a naive scan") {
+    val df = docs(11L, n = 40, shards = 2)
+    val grams = Tokens.ngrams(df, "tokens", 3)
+    val rows = df.collect().map(r => r.getSeq[Int](2).toList)
+    assert(grams.count() == rows.map(t => math.max(0, t.size - 2)).sum)
+    val got = grams.groupBy("gram").count()
+      .collect().map(r => r.getSeq[Int](0).toList -> r.getLong(1)).toMap
+    val naive = rows.flatMap(_.sliding(3).filter(_.size == 3))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == naive)
+  }
+
+  test("truncatePad yields fixed width with pad token on the right") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1, 2, 3)), (2L, Seq.range(0, 10))).toDF("id", "t")
+    val out = df.select(col("id"), Tokens.truncatePad(col("t"), 5, -1).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert(out(1L) == List(1, 2, 3, -1, -1))
+    assert(out(2L) == List(0, 1, 2, 3, 4))
+  }
+}
