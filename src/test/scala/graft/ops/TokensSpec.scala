@@ -58,6 +58,15 @@ class TokensSpec extends SparkSpec {
     assert(got == naive)
   }
 
+  test("multimodal frame sampling picks every stride-th frame index") {
+    import spark.implicits._
+    val df = Seq((1L, 10), (2L, 1)).toDF("id", "n_frames")
+    val out = Multimodal.sampleFrameIndexes(df, "n_frames", stride = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](2).toList).toMap
+    assert(out(1L) == List(0, 4, 8))
+    assert(out(2L) == List(0))
+  }
+
   test("truncatePad yields fixed width with pad token on the right") {
     import spark.implicits._
     val df = Seq((1L, Seq(1, 2, 3)), (2L, Seq.range(0, 10))).toDF("id", "t")
