@@ -378,6 +378,13 @@ object SparkEntry {
     Similarity.cosineNearDup(tbl(spark, dir, "embeddings"), "vec_id", "embedding",
       numBits = 4, threshold = 0.2)
 
+  /** IVF-bucketed ANN: deterministic coarse quantizer, 2-of-8 cell probes. */
+  private def q39AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.where(col("vec_id") < 32), "vec_id", "embedding",
+      k = 5, nCentroids = 8, nProbe = 2)
+  }
+
   /** BPE-ish subword token estimate (GPT-2-style pretokenizer regex). */
   private def q34BpeTokens(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "documents")
@@ -445,7 +452,8 @@ object SparkEntry {
     "q35_late_asof" -> (q35LateAsof _),
     "q36_online_status" -> (q36OnlineStatus _),
     "q37_pack_sequences" -> (q37PackSequences _),
-    "q38_token_ngrams" -> (q38TokenNgrams _))
+    "q38_token_ngrams" -> (q38TokenNgrams _),
+    "q39_ann_ivf" -> (q39AnnIvf _))
 
   /** DuckDB oracles. Keys absent here (q22-q26) are LSH/heuristic/stub ops
     * whose exact output is not ANSI-SQL-expressible; the driver records a

@@ -92,6 +92,56 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"), col("__rn").as("rank"))
   }
 
+  /** IVF (inverted-file / coarse-quantizer) approximate top-k: the corpus is
+    * partitioned into `nCentroids` cells by nearest centroid; each query
+    * probes only its `nProbe` nearest cells. Centroid "training" is
+    * deterministic — the `nCentroids` lowest-id corpus vectors — so results
+    * are reproducible without RNG state; swap in real k-means offline and
+    * nothing else changes. Cell assignment is a broadcast join (centroids
+    * are tiny) + per-row argmax window; the probe join is an equi-join on
+    * centroid_id — the 100 TB path alongside [[lshTopK]], with recall
+    * controlled by nProbe (nProbe = nCentroids degenerates to exact
+    * brute force).
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCentroids: Int,
+      nProbe: Int): DataFrame = {
+    val centroids = broadcast(
+      corpus.orderBy(col(idCol)).limit(nCentroids)
+        .select(col(idCol).as("__cid"), col(vecCol).as("__cvec")))
+
+    def assign(df: DataFrame, id: String, out: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("__sim").desc, col("__cid").asc)
+      df.join(centroids)
+        .withColumn("__sim", cosine(col(out), col("__cvec")))
+        .withColumn("__r", row_number().over(w))
+        .where(col("__r") <= keep)
+        .select(col(id), col(out), col("__cid"))
+    }
+
+    val corpusCells = assign(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+      "neighbor_id", "__cv", keep = 1)
+    val queryCells = assign(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")),
+      "query_id", "__qv", keep = nProbe)
+
+    val scored = corpusCells.join(queryCells, Seq("__cid"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"), col("__rn").as("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * LSH-bucketed (same-signature only) — the near-dup variant of lshTopK.
     */

@@ -113,6 +113,29 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("ivfTopK: full probe equals brute force; single probe finds the identical vector") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.where(col("vec_id") < 5)
+    // nProbe = nCentroids → every query scans every cell: exact brute force
+    val full = Similarity.ivfTopK(df, queries, "vec_id", "embedding",
+        k = 3, nCentroids = 4, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val brute = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(full == brute)
+    // nProbe = 1: an identical copy lands in the query's own cell
+    val copies = vecs.take(5).map { case (i, v) => (i + 100L, v) }
+    val df2 = (vecs ++ copies).toDF("vec_id", "embedding")
+    val one = Similarity.ivfTopK(df2, df2.where(col("vec_id") < 5), "vec_id", "embedding",
+        k = 1, nCentroids = 4, nProbe = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    for (q <- 0L until 5L) {
+      val (nb, c) = one(q)
+      assert(nb == q + 100L, s"query $q: identical copy must be rank 1, got $nb")
+      assert(math.abs(c - 1.0) < 1e-3)
+    }
+  }
+
   test("text stats: token count, stopword ratio, fingerprint determinism") {
     val out = docs.select(
       col("doc_id"),
