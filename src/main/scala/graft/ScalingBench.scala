@@ -127,14 +127,16 @@ object ScalingBench {
         Windows.lagLead(slotted, Seq("doc_id"), "event_timestamp", "n_tok", n = 1),
         Seq("doc_id"), "event_timestamp", 3600L, "slot_tok_sum")
 
-    // (4) PIT retrieval at every probe timestamp, hot entity salted
+    // (4) PIT retrieval at every probe timestamp; hot PROBE keys detected
+    // from a 1% sample (the probe side is what salting balances) and salted
+    val hot = graft.exec.Skew.detectHotKeys(probesDf, "doc_id", hotShare = 0.05)
     val matched = AsOfJoin.windowed(
       probesDf, enriched,
       AsOfSpec(Seq("doc_id"), "event_timestamp", "event_timestamp",
         createdTs = Some("created_timestamp"), ttlSeconds = Some(TtlSeconds),
         features = Seq("seq_id", "n_tok", "n_tok_lag1",
           "slot_tok_sum_rolling_sum", "slot_tok_sum_rolling_cnt")),
-      saltBuckets = SaltBuckets, hotKeys = Seq("doc_0"))
+      saltBuckets = if (hot.nonEmpty) SaltBuckets else 1, hotKeys = hot)
 
     // (5) late-materialized token fetch by matched seq_id
     // no .distinct before the broadcast: the hashed relation dedups keys

@@ -1,0 +1,38 @@
+package graft.exec
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sampled hot-key detection (SURVEY §4): find entity keys whose share of
+  * the data exceeds `hotShare`, from a seeded sample — the planning input
+  * for [[graft.pit.AsOfJoin]]'s selective salting. One aggregate over the
+  * sampled fraction; cost is O(sample), independent of table size, so it is
+  * cheap enough to run inline before every large as-of join.
+  *
+  * Statistical note: with sampleFraction f, a key holding share s of N rows
+  * appears ~s·f·N times in the sample; for the defaults (f = 0.01) any key
+  * over ~1% of a 10M-row table is detected with overwhelming probability,
+  * and false positives require a key to overshoot the threshold in the
+  * sample — harmless, since salting a non-hot key only costs its
+  * replication factor.
+  */
+object Skew {
+
+  def detectHotKeys(
+      df: DataFrame,
+      keyCol: String,
+      hotShare: Double = 0.01,
+      sampleFraction: Double = 0.01,
+      seed: Long = 42L): Seq[Any] = {
+    val counts = df.select(col(keyCol))
+      .sample(withReplacement = false, sampleFraction, seed)
+      .groupBy(col(keyCol)).count()
+      .cache()
+    try {
+      val total = counts.agg(sum(col("count"))).head().getLong(0)
+      if (total == 0) Seq.empty
+      else counts.where(col("count") >= lit(total * hotShare))
+        .collect().map(_.get(0)).toSeq
+    } finally counts.unpersist()
+  }
+}
