@@ -93,8 +93,7 @@ object ScalingBench {
     *    never passes through a window sort;
     * 6. checksum aggregate (bit_xor of xxhash64 — order-independent,
     *    proves identical results across parallelism levels).
-    */
-  /** One timed pass of the end-to-end pipeline over pre-written input.
+    *
     * Returns (sequences, probeRows, checksum, elapsedSec). Shared by the
     * scaling harness (spark-submit per level) and graft.Bench (per-round
     * throughput figure).
@@ -142,7 +141,7 @@ object ScalingBench {
     // no .distinct before the broadcast: the hashed relation dedups keys
     // itself, and skipping it saves a shuffle + a scheduling round-trip
     val payload = seqs.select("seq_id", "tokens")
-      .join(broadcast(matched.select("seq_id").na.drop), Seq("seq_id"), "left_semi")
+      .join(broadcast(matched.select("seq_id").na.drop()), Seq("seq_id"), "left_semi")
     val joined = matched.join(payload, Seq("seq_id"), "left")
 
     // checksum sink: forces full evaluation incl. token arrays

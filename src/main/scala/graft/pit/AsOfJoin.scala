@@ -191,7 +191,7 @@ object AsOfJoin {
     val pruned =
       if (broadcastFetch)
         payload.join(
-          broadcast(matched.select(col(rowId)).na.drop.distinct()),
+          broadcast(matched.select(col(rowId)).na.drop().distinct()),
           Seq(rowId), "left_semi")
       else payload
     matched.join(pruned, Seq(rowId), "left")
