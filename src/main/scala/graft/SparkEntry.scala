@@ -226,6 +226,13 @@ object SparkEntry {
     Dedup.ngramJaccard(tbl(spark, dir, "documents"), "doc_id", "text",
       n = 3, threshold = 0.05)
 
+  /** Prefix-filtered exact Jaccard (PPJoin-style lossless pruning) at a
+    * moderate threshold — same oracle family as q14, far fewer candidates.
+    */
+  private def q40JaccardPrefix(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPrefix(tbl(spark, dir, "documents"), "doc_id", "text",
+      n = 3, threshold = 0.4)
+
   private def q15TextStats(spark: SparkSession, dir: String): DataFrame = {
     val d = tbl(spark, dir, "documents")
     d.select(
@@ -453,7 +460,8 @@ object SparkEntry {
     "q36_online_status" -> (q36OnlineStatus _),
     "q37_pack_sequences" -> (q37PackSequences _),
     "q38_token_ngrams" -> (q38TokenNgrams _),
-    "q39_ann_ivf" -> (q39AnnIvf _))
+    "q39_ann_ivf" -> (q39AnnIvf _),
+    "q40_jaccard_prefix" -> (q40JaccardPrefix _))
 
   /** DuckDB oracles. Keys absent here (q22-q26) are LSH/heuristic/stub ops
     * whose exact output is not ANSI-SQL-expressible; the driver records a
@@ -687,6 +695,16 @@ object SparkEntry {
         |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tok,
         |  flatten(list(t ORDER BY doc_id)) AS packed
         |FROM c GROUP BY 1, 2""".stripMargin,
+    "q40_jaccard_prefix" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |       FROM words, UNNEST(range(1, len(w) - 1)) t(i)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ix
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id1, id2, round(CAST(ix AS DOUBLE) / (s1.n + s2.n - ix), 6) AS jaccard
+        |FROM inter JOIN sz s1 ON id1 = s1.doc_id JOIN sz s2 ON id2 = s2.doc_id
+        |WHERE round(CAST(ix AS DOUBLE) / (s1.n + s2.n - ix), 6) >= 0.4""".stripMargin,
     "q38_token_ngrams" ->
       """WITH toks AS (SELECT list_transform(range(1, CAST(least(n_chars, 64) AS INT) + 1),
         |    i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS INT)) AS t

@@ -45,6 +45,22 @@ class OpsSpec extends SparkSpec {
     assert(got.contains((1L, 2L)) && got((1L, 2L)) == 1.0)
   }
 
+  test("ngramJaccardPrefix equals ngramJaccard at every threshold (lossless pruning)") {
+    // fixture docs + randomized word soup to exercise varied set sizes
+    val rnd = new scala.util.Random(13L)
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta")
+    val noisy = (10L until 40L).map(i =>
+      (i, (0 until rnd.nextInt(25) + 5).map(_ => words(rnd.nextInt(words.length))).mkString(" ")))
+    val all = docs.union(noisy.toDF("doc_id", "text"))
+    for (t <- Seq(0.1, 0.3, 0.5, 0.8)) {
+      def collectPairs(out: org.apache.spark.sql.DataFrame) =
+        out.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val plain = collectPairs(Dedup.ngramJaccard(all, "doc_id", "text", 3, t))
+      val prefix = collectPairs(Dedup.ngramJaccardPrefix(all, "doc_id", "text", 3, t))
+      assert(prefix == plain, s"threshold $t")
+    }
+  }
+
   test("minhashLsh: exact duplicates always collide; scores are exact Jaccard") {
     val got = Dedup.minhashLsh(docs, "doc_id", "text",
       shingleN = 3, numHashes = 32, bands = 16, threshold = 0.3)
