@@ -23,30 +23,50 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // failures are RECORDED, not swallowed — a broken query must not show
+    // up as a normal-looking timing in BENCH_r{N}.json
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).count(); None } catch {
+        case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200))
+      }
+      name -> ((System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val errs = results.collect { case (k, (_, Some(e))) => s"\"$k\":${jstr(e)}" }
+      .mkString("{", ",", "}")
+    val nFailed = results.count(_._2._2.isDefined)
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
 
-    // headline throughput: the BASELINE.md metric at bench scale
+    // headline throughput: the BASELINE.md metric at bench scale. Fixture is
+    // generated once to /tmp and reused — guarded by a params marker so a
+    // partial prior run or a stale pre-fixture-change dir regenerates.
     val seqDir = "/tmp/graft_bench_seq"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$seqDir/sequences"))) {
+    val params = s"v2 rows=10000000 entities=50000 maxTokens=64 " +
+      s"hot=${ScalingBench.HotSharePct} dup=10 probesPerEntity=40"
+    val markerPath = java.nio.file.Paths.get(s"$seqDir/PARAMS")
+    val cacheOk =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(s"$seqDir/sequences")) &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(s"$seqDir/probes")) &&
+      java.nio.file.Files.exists(markerPath) &&
+      java.nio.file.Files.readString(markerPath) == params
+    if (!cacheOk) {
       graft.fixtures.TokenSeq.generate(spark, 10000000L, 50000, maxTokens = 64,
           hotSharePct = ScalingBench.HotSharePct, dupPct = 10)
         .repartition(128).write.mode("overwrite").parquet(s"$seqDir/sequences")
       graft.fixtures.TokenSeq.entityProbes(spark, 50000, probesPerEntity = 40,
           hotSharePct = ScalingBench.HotSharePct)
         .repartition(32).write.mode("overwrite").parquet(s"$seqDir/probes")
+      java.nio.file.Files.writeString(markerPath, params)
     }
     val (nSeq, _, checksum, elapsed) = ScalingBench.timedJob(spark, seqDir)
     val rate = nSeq / elapsed
 
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""failed":$nFailed,"errors":$errs,""" +
         s""""sf":"$sfDir","pit_fe_sequences_per_sec":$rate,""" +
         s""""pit_fe_sequences":$nSeq,"pit_fe_elapsed_sec":$elapsed,""" +
         s""""pit_fe_checksum":$checksum,""" +

@@ -177,6 +177,10 @@ object ScalingBench {
   def report(loJson: String, hiJson: String, outMd: String, extraJsons: Seq[String] = Nil): Unit = {
     def field(j: String, k: String): Double =
       s""""$k":([-0-9.eE]+)""".r.findFirstMatchIn(j).get.group(1).toDouble
+    // 64-bit values (checksum, probe_rows) must compare exactly — Double's
+    // 53-bit mantissa would silently equate checksums differing in low bits
+    def fieldLong(j: String, k: String): Long =
+      s""""$k":(-?[0-9]+)""".r.findFirstMatchIn(j).get.group(1).toLong
     def load(p: String) = new String(Files.readAllBytes(Paths.get(p)), StandardCharsets.UTF_8)
     val lo = load(loJson)
     val hi = load(hiJson)
@@ -185,8 +189,8 @@ object ScalingBench {
     val (rLo, rHi) = (field(lo, "sequences_per_sec"), field(hi, "sequences_per_sec"))
     val eff = (rHi / rLo) / (cHi / cLo)
     val checksumsAgree = (hi +: extras).forall(j =>
-      field(lo, "checksum") == field(j, "checksum") &&
-        field(lo, "probe_rows") == field(j, "probe_rows"))
+      fieldLong(lo, "checksum") == fieldLong(j, "checksum") &&
+        fieldLong(lo, "probe_rows") == fieldLong(j, "probe_rows"))
     val extraRows = extras.map(j =>
       s"| local[${field(j, "cores").toInt}] | ${f"${field(j, "elapsed_sec")}%.1f"} | " +
         s"${f"${field(j, "sequences_per_sec")}%.0f"} | (beyond the VM's memory-bandwidth knee, see below) |")

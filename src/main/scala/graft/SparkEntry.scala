@@ -100,9 +100,21 @@ object SparkEntry {
       saltBuckets = 8)
   }
 
+  /** Canonical string digest of an int-token array for gate outputs: the
+    * driver's pandas canonicalizer cannot sort array columns (round-1 ERR on
+    * q18/q26/q37), so gate queries emit `65,66,67`-style strings instead —
+    * matched on the oracle side by DuckDB `array_to_string(..., ',')`, which
+    * yields NULL for NULL *and empty* lists (hence the size guard).
+    * Raw-array byte-identity stays proven by TokenSeqPitSpec.
+    */
+  private def arrayDigest(c: Column): Column =
+    when(c.isNull || size(c) === 0, lit(null).cast("string"))
+      .otherwise(concat_ws(",", c))
+
   /** Token-array PIT (north-rule invariant): pre-tokenized sequences keyed by
     * lang on a synthetic minute grid; token arrays must survive the as-of
-    * join byte-identical.
+    * join byte-identical (asserted raw in TokenSeqPitSpec; digested here for
+    * the driver gate).
     */
   private def q18TokensPit(spark: SparkSession, dir: String): DataFrame = {
     val docs = tbl(spark, dir, "documents")
@@ -122,7 +134,8 @@ object SparkEntry {
     AsOfJoin.windowed(entity, feature,
       AsOfSpec(Seq("lang"), "pts", "fts", Some("src_doc"), Some(3600L),
         Seq("src_doc", "tokens")))
-      .select(col("probe_id"), col("lang"), col("src_doc"), col("tokens"))
+      .select(col("probe_id"), col("lang"), col("src_doc"),
+        arrayDigest(col("tokens")).as("tokens_str"))
   }
 
   /** Late-materialized as-of join (the wide-payload strategy): the window
@@ -368,6 +381,8 @@ object SparkEntry {
   private def q37PackSequences(spark: SparkSession, dir: String): DataFrame =
     Tokens.packGreedy(derivedTokens(spark, dir), Seq("lang"), "doc_id",
       "tokens", "n_tok", seqLen = 256)
+      .select(col("lang"), col("pack_id"), col("n_docs"), col("n_tok"),
+        arrayDigest(col("packed")).as("packed_str"))
 
   /** Token n-gram corpus statistics: trigram counts >= 5. */
   private def q38TokenNgrams(spark: SparkSession, dir: String): DataFrame =
@@ -416,9 +431,16 @@ object SparkEntry {
     tbl(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), TextStats.langId(col("text")).as("lang_guess"))
 
+  /** Multimodal decode + featurize: real javax.imageio PNG decode for image
+    * rows, stub kernel for audio/video. Gate output is scalar-only (dims +
+    * rounded feature sum) — raw feature vectors are asserted in OpsSpec.
+    */
   private def q26Multimodal(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Multimodal.extractFeatures(Multimodal.syntheticAssets(spark, 200)).toDF()
+      .select(col("asset_id"), col("kind"), col("n_bytes"), col("checksum"),
+        size(col("feature")).as("feat_dim"),
+        round(aggregate(col("feature"), lit(0.0), (a, x) => a + x), 3).as("feat_sum"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -606,7 +628,8 @@ object SparkEntry {
         |j AS (SELECT e.probe_id, e.lang, f.src_doc, f.tokens,
         |    ROW_NUMBER() OVER (PARTITION BY e.probe_id ORDER BY f.fe DESC, f.src_doc DESC) rn
         |  FROM e LEFT JOIN f ON e.lang = f.lang AND f.fe <= e.pe AND f.fe >= e.pe - 3600)
-        |SELECT probe_id, lang, src_doc, tokens FROM j WHERE rn = 1""".stripMargin,
+        |SELECT probe_id, lang, src_doc, array_to_string(tokens, ',') AS tokens_str
+        |FROM j WHERE rn = 1""".stripMargin,
     "q19_union_latest" ->
       """WITH u AS (
         |  SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
@@ -693,7 +716,7 @@ object SparkEntry {
         |        ROWS UNBOUNDED PRECEDING) - n AS cum_start FROM toks)
         |SELECT lang, CAST(floor(cum_start / 256) AS BIGINT) AS pack_id,
         |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tok,
-        |  flatten(list(t ORDER BY doc_id)) AS packed
+        |  array_to_string(flatten(list(t ORDER BY doc_id)), ',') AS packed_str
         |FROM c GROUP BY 1, 2""".stripMargin,
     "q40_jaccard_prefix" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

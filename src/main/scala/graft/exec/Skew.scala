@@ -29,7 +29,9 @@ object Skew {
       .groupBy(col(keyCol)).count()
       .cache()
     try {
-      val total = counts.agg(sum(col("count"))).head().getLong(0)
+      // sum over zero rows is NULL — read null-safely before the guard
+      val row = counts.agg(sum(col("count"))).head()
+      val total = if (row.isNullAt(0)) 0L else row.getLong(0)
       if (total == 0) Seq.empty
       else counts.where(col("count") >= lit(total * hotShare))
         .collect().map(_.get(0)).toSeq

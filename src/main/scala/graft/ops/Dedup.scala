@@ -24,9 +24,12 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
       .select(col(idCol), col(contentCol), col("n_dups"))
 
-  /** Word shingles: distinct n-grams of whitespace-split words per doc. */
+  /** Word shingles: distinct n-grams of whitespace-split words per doc.
+    * Split is `\s+` — same tokenization as [[TextStats]] (a single-space
+    * split would silently diverge on multi-space/tab text).
+    */
   def wordShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val words = split(col(textCol), " ")
+    val words = split(col(textCol), "\\s+")
     df.select(col(idCol), words.as("__w"))
       .where(size(col("__w")) >= n)
       .select(

@@ -1,5 +1,9 @@
 package graft.ops
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -7,11 +11,13 @@ import org.apache.spark.sql.functions._
   * `binary` columns with a typed metadata struct; decode / feature-extract /
   * resize / frame-sample run as partition-batched transforms.
   *
-  * The container ships no image/audio codecs, so the decode kernel is a
-  * clearly-marked deterministic STUB ([[StubCodec]]) — the Spark-side
-  * contract (schema, batching, partition sizing, null/corrupt handling) is
-  * real and tested, and swapping in a true codec is a one-function change.
-  * On a Python-capable cluster the same shape runs as `mapInPandas` with
+  * The image path is REAL: payloads are PNG bytes decoded with the JDK's
+  * `javax.imageio` (no external deps), and the feature vector is derived
+  * from actual pixels (dimensions + per-channel means). Audio/video remain
+  * clearly-marked deterministic STUBS ([[StubCodec]]) — the container ships
+  * no audio/video codecs — with the Spark-side contract (schema, batching,
+  * partition sizing, null/corrupt handling) identical across kinds. On a
+  * Python-capable cluster the same shape runs as `mapInPandas` with
   * identical schemas.
   */
 object Multimodal {
@@ -33,16 +39,73 @@ object Multimodal {
       checksum: Long,
       feature: Array[Float])
 
-  /** STUB decode kernel — deterministic fake standing in for a real codec.
-    * Real implementation would be e.g. javax.imageio / ffmpeg here, or a
-    * `mapInPandas` Pandas UDF (PIL/torchaudio) on a full cluster:
-    * the feature is a seeded projection of payload bytes, NOT real pixels.
+  /** Real image codec: PNG/JPEG decode via `javax.imageio` (JDK-native).
+    * Feature = [width, height, mean_R, mean_G, mean_B] over the decoded
+    * pixel grid (means in [0,1]). PNG is lossless, so the feature is exactly
+    * reproducible from the original pixel data. Corrupt/undecodable payloads
+    * yield an empty feature (the null-handling contract of the pipeline).
+    */
+  object ImageCodec {
+    val FeatureDim = 5
+
+    def decodeAndEmbed(payload: Array[Byte]): Array[Float] = {
+      val img =
+        try ImageIO.read(new ByteArrayInputStream(payload))
+        catch { case _: Exception => null }
+      if (img == null) Array.empty[Float]
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var r = 0L; var g = 0L; var b = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            r += (p >> 16) & 0xFF; g += (p >> 8) & 0xFF; b += p & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h * 255).toFloat
+        Array(w.toFloat, h.toFloat, r / n, g / n, b / n)
+      }
+    }
+
+    /** Deterministic synthetic PNG: pixel (x,y) of asset `id` is a fixed
+      * integer function, encoded through the real PNG writer — so decode is
+      * exercised against genuine compressed image bytes.
+      */
+    def syntheticPng(id: Long, w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+          val g = ((id * 17 + x * 11 + y * 3) % 256).toInt
+          val b = ((id * 5 + x * 13 + y * 29) % 256).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+  }
+
+  /** STUB decode kernel for audio/video — deterministic fake standing in for
+    * a real codec. Real implementation would be ffmpeg/torchaudio here (not
+    * in this container), or a `mapInPandas` Pandas UDF on a full cluster:
+    * the feature is a seeded projection of payload bytes, NOT real samples.
     */
   object StubCodec {
     val FeatureDim = 8
     def decodeAndEmbed(payload: Array[Byte]): Array[Float] = {
-      // ??? <- real codec goes here; deterministic fake below keeps the
-      // pipeline testable end-to-end without image/audio libraries.
+      // ??? <- real audio/video codec goes here; deterministic fake below
+      // keeps the pipeline testable end-to-end without codec libraries.
       val out = new Array[Float](FeatureDim)
       var i = 0
       while (i < payload.length) {
@@ -51,26 +114,29 @@ object Multimodal {
       }
       out
     }
-    def checksum(payload: Array[Byte]): Long = {
-      var h = 1125899906842597L
-      var i = 0
-      while (i < payload.length) { h = 31 * h + (payload(i) & 0xFF); i += 1 }
-      h
-    }
+  }
+
+  def checksum(payload: Array[Byte]): Long = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < payload.length) { h = 31 * h + (payload(i) & 0xFF); i += 1 }
+    h
   }
 
   /** Decode + featurize, batched per partition (the mapInPandas shape:
     * iterator-of-batches in, iterator-of-batches out; no per-row object
-    * churn beyond the unavoidable case-class rows).
+    * churn beyond the unavoidable case-class rows). Images take the real
+    * `javax.imageio` decode; audio/video take the stub kernel.
     */
   def extractFeatures(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       it.map { a =>
-        AssetFeatures(
-          a.asset_id, a.kind, a.payload.length.toLong,
-          StubCodec.checksum(a.payload),
-          StubCodec.decodeAndEmbed(a.payload))
+        val feat =
+          if (a.kind == "image") ImageCodec.decodeAndEmbed(a.payload)
+          else StubCodec.decodeAndEmbed(a.payload)
+        AssetFeatures(a.asset_id, a.kind, a.payload.length.toLong,
+          checksum(a.payload), feat)
       }
     }
   }
@@ -83,15 +149,23 @@ object Multimodal {
       "sampled_frames",
       filter(sequence(lit(0), col(nFramesCol) - 1), i => i % stride === 0))
 
-  /** Deterministic synthetic asset table for tests (no external data). */
+  /** Deterministic synthetic asset table for tests (no external data):
+    * image rows carry REAL PNG bytes; audio/video carry seeded opaque
+    * payloads for the stub path.
+    */
   def syntheticAssets(spark: SparkSession, n: Int, seed: Long = 42L): Dataset[Asset] = {
     import spark.implicits._
     spark.range(n).as[Long].map { id =>
-      val rnd = new scala.util.Random(seed + id)
-      val kind = Seq("image", "audio", "video")(
-        (id % 3).toInt)
-      val payload = Array.fill((rnd.nextInt(512) + 32))(rnd.nextInt(256).toByte)
-      Asset(id, kind, payload, 64, 64, 16000, 30)
+      val kind = Seq("image", "audio", "video")((id % 3).toInt)
+      if (kind == "image") {
+        val w = 16 + (id % 16).toInt
+        val h = 12 + (id % 8).toInt
+        Asset(id, kind, ImageCodec.syntheticPng(id, w, h), w, h, 0, 1)
+      } else {
+        val rnd = new scala.util.Random(seed + id)
+        val payload = Array.fill(rnd.nextInt(512) + 32)(rnd.nextInt(256).toByte)
+        Asset(id, kind, payload, 0, 0, 16000, 30)
+      }
     }
   }
 }

@@ -152,6 +152,38 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("ImageCodec: PNG round-trip recovers exact pixel means (lossless decode)") {
+    val id = 7L; val w = 20; val h = 14
+    val png = Multimodal.ImageCodec.syntheticPng(id, w, h)
+    val feat = Multimodal.ImageCodec.decodeAndEmbed(png)
+    assert(feat.length == Multimodal.ImageCodec.FeatureDim)
+    assert(feat(0) == w.toFloat && feat(1) == h.toFloat)
+    // expected channel means computed independently from the pixel generator
+    var r = 0L; var g = 0L; var b = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      r += ((id * 31 + x * 7 + y * 13) % 256).toInt
+      g += ((id * 17 + x * 11 + y * 3) % 256).toInt
+      b += ((id * 5 + x * 13 + y * 29) % 256).toInt
+    }
+    val n = (w.toLong * h * 255).toFloat
+    assert(feat(2) == r / n && feat(3) == g / n && feat(4) == b / n)
+    // corrupt payload → empty feature, no crash (null-handling contract)
+    assert(Multimodal.ImageCodec.decodeAndEmbed(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("extractFeatures: real decode for images, stub dims for audio/video") {
+    val out = Multimodal.extractFeatures(Multimodal.syntheticAssets(spark, 30)).collect()
+    assert(out.length == 30)
+    for (f <- out)
+      if (f.kind == "image") assert(f.feature.length == Multimodal.ImageCodec.FeatureDim)
+      else assert(f.feature.length == Multimodal.StubCodec.FeatureDim)
+    // distributed decode equals a local decode of the same synthetic PNG
+    val img0 = out.find(_.asset_id == 0L).get
+    val expected = Multimodal.ImageCodec.decodeAndEmbed(
+      Multimodal.ImageCodec.syntheticPng(0L, 16, 12))
+    assert(img0.feature.sameElements(expected))
+  }
+
   test("text stats: token count, stopword ratio, fingerprint determinism") {
     val out = docs.select(
       col("doc_id"),

@@ -1,6 +1,8 @@
 #!/bin/bash
-# North-rule scaling evidence: same job, same input, local[8] vs local[32],
-# each level a fresh spark-submit JVM. Writes BENCH/BASELINE.md.
+# North-rule scaling evidence: same job, same input, local[2] vs local[8]
+# (N vs 4N cores, both below the VM's memory-bandwidth knee), plus local[32]
+# as an extra beyond-the-knee data point; each level a fresh spark-submit
+# JVM. Writes BENCH/BASELINE.md.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
