@@ -235,9 +235,14 @@ object SparkEntry {
   private def q13DedupExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exact(tbl(spark, dir, "documents"), "text", "doc_id")
 
+  /** maxDf=10k: boilerplate shingles in >10k docs are excluded from
+    * candidate generation (they contribute df² join rows and zero
+    * discrimination); no sf fixture comes near the cap, so the oracle is
+    * byte-identical — the cap exists for the 100 TB run.
+    */
   private def q14NgramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccard(tbl(spark, dir, "documents"), "doc_id", "text",
-      n = 3, threshold = 0.05)
+      n = 3, threshold = 0.05, maxDf = Some(10000L))
 
   /** Prefix-filtered exact Jaccard (PPJoin-style lossless pruning) at a
     * moderate threshold — same oracle family as q14, far fewer candidates.

@@ -24,9 +24,16 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
       .select(col(idCol), col(contentCol), col("n_dups"))
 
-  /** Word shingles: distinct n-grams of whitespace-split words per doc.
-    * Split is `\s+` — same tokenization as [[TextStats]] (a single-space
-    * split would silently diverge on multi-space/tab text).
+  /** Word shingles as 64-bit hashes: distinct n-grams of whitespace-split
+    * words per doc, each shingle immediately hashed with xxhash64 over its
+    * word columns — no n-gram string is ever materialized, and every
+    * downstream shuffle/join moves 8-byte longs instead of text. Set
+    * semantics (and therefore Jaccard counts) are preserved up to 64-bit
+    * hash collisions: ~d²/2⁶⁵ expected colliding pairs for d distinct
+    * shingles — zero in practice below ~10⁹ distinct shingles, and a
+    * bounded count undercount of ±1 per collision beyond that (acceptable
+    * for near-dup mining; the collision rate is documented, deterministic,
+    * and seed-stable). Split is `\s+` — same tokenization as [[TextStats]].
     */
   def wordShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val words = split(col(textCol), "\\s+")
@@ -37,28 +44,16 @@ object Dedup {
         explode(
           transform(
             sequence(lit(0), size(col("__w")) - n),
-            i => concat_ws(" ", slice(col("__w"), i + 1, lit(n))))).as("shingle"))
+            i => xxhash64((0 until n).map(k => element_at(col("__w"), i + k + 1)): _*))).as("shingle"))
       .distinct()
   }
 
-  /** Exact n-gram Jaccard pairs with similarity >= threshold.
-    * Inverted-index join on shingle: |candidate pairs| is sum over shingles
-    * of c², not |docs|² — the standard scalable exact-Jaccard plan.
-    */
-  def ngramJaccard(
-      df: DataFrame,
+  /** Score intersection counts into thresholded Jaccard pairs. */
+  private def scorePairs(
+      inter: DataFrame, // (id1, id2, __ix)
+      sizes: DataFrame, // (idCol, __n)
       idCol: String,
-      textCol: String,
-      n: Int,
-      threshold: Double): DataFrame = {
-    val sh = wordShingles(df, idCol, textCol, n).cache()
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
-    val a = sh.select(col(idCol).as("id1"), col("shingle"))
-    val b = sh.select(col(idCol).as("id2"), col("shingle"))
-    val inter = a.join(b, Seq("shingle"))
-      .where(col("id1") < col("id2"))
-      .groupBy(col("id1"), col("id2"))
-      .agg(count(lit(1)).as("__ix"))
+      threshold: Double): DataFrame =
     inter
       .join(sizes.select(col(idCol).as("id1"), col("__n").as("__n1")), Seq("id1"))
       .join(sizes.select(col(idCol).as("id2"), col("__n").as("__n2")), Seq("id2"))
@@ -67,6 +62,88 @@ object Dedup {
         round(col("__ix").cast("double") / (col("__n1") + col("__n2") - col("__ix")), 6))
       .where(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
+
+  /** Full inverted-index intersection counts (all pairs sharing a shingle in
+    * `index`, counted over `index`): Σ over shingles of c² rows, grouped.
+    */
+  private def indexIntersections(index: DataFrame, idCol: String): DataFrame =
+    index.select(col(idCol).as("id1"), col("shingle"))
+      .join(index.select(col(idCol).as("id2"), col("shingle")), Seq("shingle"))
+      .where(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("__ix"))
+
+  /** Exact verification of candidate pairs against per-doc shingle-HASH
+    * arrays: each doc's distinct shingle hashes roll up to one sorted
+    * `array<long>` row (~8·|set| bytes — wildly smaller than round 1's
+    * string `collect_set`, whose re-join broke q40's pruning payoff), the
+    * candidate list joins that relation twice, and the intersection size is
+    * one codegen'd `array_intersect` per pair. The docset relation is tiny
+    * relative to the corpus (one row per doc), so AQE picks a broadcast
+    * join here at bench scale and a shuffle join beyond — no explicit hint
+    * needed, and cost is O(|cand| · avg set size) either way, never the
+    * Σ df² of a full index join.
+    */
+  private def verifyJaccard(
+      cand: DataFrame, // (id1, id2)
+      sh: DataFrame, // (idCol, shingle: long)
+      idCol: String,
+      threshold: Double): DataFrame = {
+    val docsets = sh.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("shingle"))).as("__set"))
+    cand
+      .join(docsets.select(col(idCol).as("id1"), col("__set").as("__s1")), Seq("id1"))
+      .join(docsets.select(col(idCol).as("id2"), col("__set").as("__s2")), Seq("id2"))
+      .withColumn("__ix", size(array_intersect(col("__s1"), col("__s2"))))
+      .withColumn(
+        "jaccard",
+        round(col("__ix").cast("double") / (size(col("__s1")) + size(col("__s2")) - col("__ix")), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard pairs with similarity >= threshold.
+    * Inverted-index join on shingle: |candidate pairs| is sum over shingles
+    * of c², not |docs|² — the standard scalable exact-Jaccard plan.
+    *
+    * `maxDf` is the frequent-shingle guard for corpus scale: a shingle
+    * occurring in c docs contributes c² candidate rows, so one boilerplate
+    * trigram shared by 1M docs would alone produce 10¹² join rows. With a
+    * cap, shingles with document frequency > maxDf are excluded from
+    * CANDIDATE GENERATION only (they are non-discriminative); candidates are
+    * then re-verified with exact counts over ALL shingles, so every reported
+    * score is still exact Jaccard. The only semantic change is that pairs
+    * sharing *solely* over-cap shingles are not reported. When no shingle
+    * exceeds the cap — checked with one cheap aggregate over the shingle
+    * index — the single-phase exact plan runs unchanged.
+    */
+  def ngramJaccard(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxDf: Option[Long] = None): DataFrame = {
+    val sh = wordShingles(df, idCol, textCol, n).cache()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    val dfreq = maxDf.map(_ => sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df")))
+    val capExceeded = (maxDf, dfreq) match {
+      case (Some(cap), Some(freq)) =>
+        val row = freq.agg(max(col("__df"))).head()
+        !row.isNullAt(0) && row.getLong(0) > cap
+      case _ => false
+    }
+    if (!capExceeded) scorePairs(indexIntersections(sh, idCol), sizes, idCol, threshold)
+    else {
+      val rare = sh.join(dfreq.get.where(col("__df") <= maxDf.get), "shingle")
+        .select(col(idCol), col("shingle"))
+      val cand = rare.select(col(idCol).as("id1"), col("shingle"))
+        .join(rare.select(col(idCol).as("id2"), col("shingle")), Seq("shingle"))
+        .where(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"))
+        .distinct()
+      verifyJaccard(cand, sh, idCol, threshold)
+    }
   }
 
   /** Prefix-filtered exact n-gram Jaccard (All-Pairs/PPJoin-style): same
@@ -74,7 +151,7 @@ object Dedup {
     * high thresholds.
     *
     * Shingles get a global canonical order (document frequency ascending,
-    * then lexical); each document indexes only its first
+    * then hash value); each document indexes only its first
     * `|s| - ceil(t*|s|) + 1` shingles. Prefix-filtering principle: if
     * J(A,B) >= t then |A∩B| >= ceil(t*max(|A|,|B|)), and two sets with that
     * much overlap must share an element inside both prefixes — so joining
@@ -93,28 +170,26 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val sh = wordShingles(df, idCol, textCol, n).cache()
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    // rank shingles per doc by (df asc, hash asc) — the canonical global
+    // order that minimizes candidates — and take the doc's set size from
+    // the SAME window (count over the partition): no separate sizes join
+    val byDoc = Window.partitionBy(col(idCol))
     val pref = sh.join(dfreq, "shingle")
       .withColumn("__rn", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(col("__df").asc, col("shingle").asc)))
-      .join(sizes, idCol)
+        byDoc.orderBy(col("__df").asc, col("shingle").asc)))
+      .withColumn("__n", count(lit(1)).over(byDoc))
       .where(col("__rn") <= col("__n") - ceil(lit(threshold) * col("__n")) + 1)
-      .select(col(idCol), col("shingle"))
+      .select(col(idCol), col("shingle"), col("__n"))
+    // Candidate join on prefixes only, with the PPJoin LENGTH filter:
+    // J(A,B) >= t ⇒ |A∩B| >= t·max(|A|,|B|) and |A∩B| <= min(|A|,|B|),
+    // so min >= t·max — size-incompatible pairs are pruned in the join.
     val cand = pref.as("x").join(pref.as("y"), Seq("shingle"))
-      .where(col(s"x.$idCol") < col(s"y.$idCol"))
+      .where(col(s"x.$idCol") < col(s"y.$idCol") &&
+        least(col("x.__n"), col("y.__n")) >=
+          lit(threshold) * greatest(col("x.__n"), col("y.__n")))
       .select(col(s"x.$idCol").as("id1"), col(s"y.$idCol").as("id2"))
       .distinct()
-    val withSets = sh.groupBy(col(idCol)).agg(collect_set(col("shingle")).as("__set"))
-    cand
-      .join(withSets.select(col(idCol).as("id1"), col("__set").as("__s1")), Seq("id1"))
-      .join(withSets.select(col(idCol).as("id2"), col("__set").as("__s2")), Seq("id2"))
-      .withColumn(
-        "jaccard",
-        round(
-          size(array_intersect(col("__s1"), col("__s2"))).cast("double") /
-            size(array_union(col("__s1"), col("__s2"))), 6))
-      .where(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), col("jaccard"))
+    verifyJaccard(cand, sh, idCol, threshold)
   }
 
   /** MinHash signatures: k independent permutations simulated as
@@ -159,18 +234,8 @@ object Dedup {
       .where(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id1"), col(s"y.$idCol").as("id2"))
       .distinct()
-    // exact verification of candidates only
-    val withSets = sh.groupBy(col(idCol)).agg(collect_set(col("shingle")).as("__set"))
-    cand
-      .join(withSets.select(col(idCol).as("id1"), col("__set").as("__s1")), Seq("id1"))
-      .join(withSets.select(col(idCol).as("id2"), col("__set").as("__s2")), Seq("id2"))
-      .withColumn(
-        "jaccard",
-        round(
-          size(array_intersect(col("__s1"), col("__s2"))).cast("double") /
-            size(array_union(col("__s1"), col("__s2"))), 6))
-      .where(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), col("jaccard"))
+    // exact verification of candidates only, via hashed docset arrays
+    verifyJaccard(cand, sh, idCol, threshold)
   }
 
   /** 64-bit SimHash over word shingles: bit b of the fingerprint is the sign

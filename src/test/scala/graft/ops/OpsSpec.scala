@@ -61,6 +61,37 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("ngramJaccard maxDf cap: no-op below the cap; exact scores above it") {
+    // below the cap: output identical to the uncapped plan
+    val uncapped = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val capped = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.3, maxDf = Some(1000L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(capped == uncapped)
+    // cap exceeded: a boilerplate prefix shared by ALL docs is dropped from
+    // candidate generation, but reported scores stay exact over ALL shingles
+    val boiler = (0 until 6).map(i => s"common boilerplate header text plus unique$i tail$i body$i").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val tiny = Dedup.ngramJaccard(boiler, "doc_id", "text", 3, 0.1, maxDf = Some(3L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every shared shingle here is the all-docs boilerplate (df=6 > cap=3),
+    // so no pair survives candidate generation
+    assert(tiny.isEmpty)
+    // with a rare discriminative shingle shared by two docs, the pair is
+    // found and its jaccard counts the boilerplate shingles too (exact)
+    val mixed = boiler.union(Seq(
+      (100L, "common boilerplate header text plus special marker phrase here"),
+      (101L, "common boilerplate header text plus special marker phrase there"))
+      .toDF("doc_id", "text"))
+    val got = Dedup.ngramJaccard(mixed, "doc_id", "text", 3, 0.1, maxDf = Some(3L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.contains((100L, 101L)))
+    val texts = Map(
+      100L -> "common boilerplate header text plus special marker phrase here",
+      101L -> "common boilerplate header text plus special marker phrase there")
+    assert(math.abs(got((100L, 101L)) - naiveJaccard(texts(100L), texts(101L), 3)) < 1e-5)
+  }
+
   test("minhashLsh: exact duplicates always collide; scores are exact Jaccard") {
     val got = Dedup.minhashLsh(docs, "doc_id", "text",
       shingleN = 3, numHashes = 32, bands = 16, threshold = 0.3)
