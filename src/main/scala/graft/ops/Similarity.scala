@@ -26,14 +26,19 @@ object Similarity {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
-  /** Exact top-k cosine neighbors for each query vector. */
+  /** Exact top-k cosine neighbors for each query vector.
+    * `broadcastQueries = false` for query sets too large to broadcast: the
+    * scoring becomes a shuffle join (still the exact O(|Q|·corpus) scan).
+    */
   def bruteForceTopK(
       corpus: DataFrame,
       queries: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
+      k: Int,
+      broadcastQueries: Boolean = true): DataFrame = {
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val q = if (broadcastQueries) broadcast(q0) else q0
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("__qv"), col("__cv")))
@@ -75,13 +80,16 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      numBits: Int): DataFrame = {
+      numBits: Int,
+      broadcastQueries: Boolean = true): DataFrame = {
     val c = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       signSignature(col(vecCol), numBits).as("__sig"))
-    val q = broadcast(queries.select(
+    val q0 = queries.select(
       col(idCol).as("query_id"), col(vecCol).as("__qv"),
-      signSignature(col(vecCol), numBits).as("__sig")))
+      signSignature(col(vecCol), numBits).as("__sig"))
+    // large query sets: shuffle equi-join on the signature instead
+    val q = if (broadcastQueries) broadcast(q0) else q0
     val scored = c.join(q, Seq("__sig"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("__qv"), col("__cv")))
@@ -97,11 +105,17 @@ object Similarity {
     * probes only its `nProbe` nearest cells. Centroid "training" is
     * deterministic — the `nCentroids` lowest-id corpus vectors — so results
     * are reproducible without RNG state; swap in real k-means offline and
-    * nothing else changes. Cell assignment is a broadcast join (centroids
-    * are tiny) + per-row argmax window; the probe join is an equi-join on
-    * centroid_id — the 100 TB path alongside [[lshTopK]], with recall
-    * controlled by nProbe (nProbe = nCentroids degenerates to exact
-    * brute force).
+    * nothing else changes.
+    *
+    * Cell assignment is a pure PROJECTION: the (tiny) centroid list is
+    * collected once at planning time and inlined as literal arrays, so each
+    * row computes its nCentroids cosines and picks the best cells inside
+    * one codegen'd expression — no join, no ×nCentroids row expansion, no
+    * per-row argmax window shuffle (round 1's plan expanded the corpus
+    * ×nCentroids and shuffled it just to take a max). The probe join stays
+    * an equi-join on centroid id — the 100 TB path alongside [[lshTopK]],
+    * with recall controlled by nProbe (nProbe = nCentroids degenerates to
+    * exact brute force).
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -111,26 +125,31 @@ object Similarity {
       k: Int,
       nCentroids: Int,
       nProbe: Int): DataFrame = {
-    val centroids = broadcast(
-      corpus.orderBy(col(idCol)).limit(nCentroids)
-        .select(col(idCol).as("__cid"), col(vecCol).as("__cvec")))
+    // planning-time collect of nCentroids rows — same class of driver-side
+    // scalar as Skew.detectHotKeys / Materialize.timestampBounds
+    val cents = corpus.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(nCentroids).collect()
+      .map(r => (r.get(0), r.getSeq[Float](1)))
 
-    def assign(df: DataFrame, id: String, out: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(id))
-        .orderBy(col("__sim").desc, col("__cid").asc)
-      df.join(centroids)
-        .withColumn("__sim", cosine(col(out), col("__cvec")))
-        .withColumn("__r", row_number().over(w))
-        .where(col("__r") <= keep)
-        .select(col(id), col(out), col("__cid"))
-    }
+    // (sim, cid) structs sorted best-first: sim desc, ties by cid asc —
+    // the same order the round-1 window used
+    def rankedCells(vec: Column): Column = array_sort(
+      array(cents.map { case (cid, cvec) =>
+        struct(cosine(vec, typedLit(cvec)).as("sim"), lit(cid).as("cid"))
+      }.toSeq: _*),
+      (l, r) => when(l.getField("sim") > r.getField("sim"), -1)
+        .when(l.getField("sim") < r.getField("sim"), 1)
+        .when(l.getField("cid") < r.getField("cid"), -1)
+        .when(l.getField("cid") > r.getField("cid"), 1)
+        .otherwise(0))
 
-    val corpusCells = assign(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
-      "neighbor_id", "__cv", keep = 1)
-    val queryCells = assign(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")),
-      "query_id", "__qv", keep = nProbe)
+    val corpusCells = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      element_at(rankedCells(col(vecCol)), 1).getField("cid").as("__cid"))
+    val queryCells = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      explode(transform(slice(rankedCells(col(vecCol)), 1, nProbe),
+        c => c.getField("cid"))).as("__cid"))
 
     val scored = corpusCells.join(queryCells, Seq("__cid"))
       .where(col("neighbor_id") =!= col("query_id"))

@@ -183,6 +183,30 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("ivfTopK recall@5 vs brute force is bounded below (nProbe=2 of 8 cells)") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.where(col("vec_id") < 8)
+    def neighborSets(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = neighborSets(
+      Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", k = 5))
+    val ivf = neighborSets(
+      Similarity.ivfTopK(df, queries, "vec_id", "embedding", k = 5, nCentroids = 8, nProbe = 2))
+    val recalls = brute.keys.toSeq.map { q =>
+      ivf.getOrElse(q, Set.empty).intersect(brute(q)).size.toDouble / brute(q).size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.4, s"mean recall@5 $meanRecall below floor")
+    // exactness is NOT expected at nProbe<nCentroids, but reported cosines
+    // for returned neighbors must equal the brute-force cosine
+    val bruteCos = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", k = 39)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivfCos = Similarity.ivfTopK(df, queries, "vec_id", "embedding", 5, 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for ((pair, c) <- ivfCos) assert(math.abs(c - bruteCos(pair)) < 1e-9, s"$pair")
+  }
+
   test("ImageCodec: PNG round-trip recovers exact pixel means (lossless decode)") {
     val id = 7L; val w = 20; val h = 14
     val png = Multimodal.ImageCodec.syntheticPng(id, w, h)
