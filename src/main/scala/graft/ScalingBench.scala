@@ -39,10 +39,13 @@ object ScalingBench {
       gen(dataDir, n.toLong, entities.toInt, probes.toLong)
     case "run" :: dataDir :: cores :: outJson :: Nil =>
       run(dataDir, cores.toInt, outJson)
+    case "pack" :: dataDir :: cores :: subShards :: outJson :: rest =>
+      runPack(dataDir, cores.toInt, subShards.toInt, outJson,
+        rest.contains("late"), rest.contains("aligned"))
     case "report" :: lo :: hi :: outMd :: extras =>
       report(lo, hi, outMd, extras)
     case other =>
-      sys.error(s"usage: gen|run|report ..., got $other")
+      sys.error(s"usage: gen|run|pack|report ..., got $other")
   }
 
   private def session(appName: String, conf: Map[String, String] = Map.empty): SparkSession = {
@@ -171,6 +174,42 @@ object ScalingBench {
     Files.createDirectories(Paths.get(outJson).toAbsolutePath.getParent)
     Files.write(Paths.get(outJson), json.getBytes(StandardCharsets.UTF_8))
     println(s"[run] $json")
+    spark.stop()
+  }
+
+  /** Sequence-packing scaling probe: pack the generated table into
+    * 2048-token packs grouped by `source` (only 4 distinct values — the
+    * straggler regime that single-level packing cannot parallelize past 4
+    * tasks). `subShards = 1` measures the single-level ceiling;
+    * `subShards > 1` measures the two-level plan whose window runs
+    * 4 × subShards concurrent tasks. bit_xor checksum over the packed
+    * arrays proves the layout is identical across parallelism levels for a
+    * fixed subShards.
+    */
+  def runPack(dataDir: String, cores: Int, subShards: Int, outJson: String,
+      lateFetch: Boolean = false, alignShards: Boolean = false): Unit = {
+    val spark = session(s"graft-pack-$cores",
+      Map("spark.sql.shuffle.partitions" -> "64"))
+    val seqs = spark.read.parquet(s"$dataDir/sequences")
+    val nRows = seqs.count() // warm FS metadata; not part of the timed job
+    val t0 = System.nanoTime()
+    val packed = graft.ops.Tokens.packGreedy(
+      seqs, Seq("source"), "seq_id", "tokens", "n_tok", seqLen = 2048,
+      subShards = subShards,
+      shardExpr = if (subShards > 1) Some(pmod(col("seq_id"), lit(subShards))) else None,
+      lateFetch = lateFetch, alignShards = alignShards)
+    val row = packed.agg(
+      count(lit(1)).as("packs"),
+      expr("bit_xor(xxhash64(packed))").as("checksum"),
+      sum(col("n_tok")).as("tok_sum")).head()
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    val json =
+      s"""{"cores":$cores,"sub_shards":$subShards,"elapsed_sec":$elapsed,""" +
+        s""""sequences":$nRows,"packs":${row.getLong(0)},"checksum":${row.getLong(1)},""" +
+        s""""tok_sum":${row.getLong(2)},"sequences_per_sec":${nRows / elapsed}}"""
+    Files.createDirectories(Paths.get(outJson).toAbsolutePath.getParent)
+    Files.write(Paths.get(outJson), json.getBytes(StandardCharsets.UTF_8))
+    println(s"[pack] $json")
     spark.stop()
   }
 

@@ -12,9 +12,9 @@ import org.apache.spark.sql.functions._
   */
 object Tokens {
 
-  /** Greedy contiguous sequence packing: within each key group (shard),
-    * documents are laid out in `orderCol` order and cut into packs of
-    * `seqLen` tokens by their running start offset — the standard
+  /** Greedy contiguous sequence packing: within each key group, documents
+    * are laid out in a deterministic order and cut into packs of `seqLen`
+    * tokens by their running start offset — the standard
     * pack-to-context-length step of an LLM pretraining pipeline, expressed
     * as cumsum window + hash aggregation:
     *
@@ -24,8 +24,20 @@ object Tokens {
     * packs can overflow by up to one document — the usual greedy variant).
     * Output: one row per (keys, pack_id) with the flattened token array,
     * document count, and token count. Deterministic: per-pack order is
-    * re-established with sort_array over (order, tokens) structs, so the
-    * result is independent of partitioning.
+    * re-established with sort_array over order structs, so the result is
+    * independent of partitioning.
+    *
+    * SCALE: with `subShards = 1` the cumsum window runs one task per key
+    * group — a handful of straggler tasks when keys are few (one language
+    * sorting its whole shard). With `subShards > 1`, packing is TWO-LEVEL:
+    * rows are sub-sharded by `shardExpr` (default: hash of `orderCol` mod
+    * subShards; pass an oracle-mirrorable expression for verified outputs),
+    * the cumsum window runs per (keys, shard) — keys × subShards concurrent
+    * tasks — and each shard's running offset is shifted by the prefix sum
+    * of the per-shard token totals (a keys × subShards row frame, trivially
+    * small, broadcast back onto the rows). Layout order becomes
+    * (shard, orderCol) within each key group: still fully deterministic,
+    * packs still contiguous, no single task ever sorts a whole key group.
     */
   def packGreedy(
       df: DataFrame,
@@ -33,21 +45,87 @@ object Tokens {
       orderCol: String,
       tokensCol: String,
       nTokCol: String,
-      seqLen: Int): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cumStart = (sum(col(nTokCol)).over(w) - col(nTokCol)).as("__cum_start")
-    df.select((keys.map(col) :+ col(orderCol) :+ col(tokensCol).as("__t") :+
-        col(nTokCol).as("__n") :+ cumStart): _*)
+      seqLen: Int,
+      subShards: Int = 1,
+      shardExpr: Option[Column] = None,
+      lateFetch: Boolean = false,
+      alignShards: Boolean = false): DataFrame = {
+    val twoLevel = subShards > 1 || shardExpr.isDefined
+    require(!alignShards || twoLevel, "alignShards requires sub-sharding")
+    val shard: Column =
+      if (!twoLevel) lit(0)
+      else shardExpr.getOrElse(pmod(xxhash64(col(orderCol)), lit(subShards)))
+    // With `lateFetch`, the cumsum window sees only (keys, shard, order,
+    // n_tok) and token arrays are fetched afterwards by an equi-join on
+    // (keys, orderCol) — which must therefore uniquely identify a row. The
+    // final groupBy moves token arrays either way, so late fetch trades an
+    // extra narrow shuffle for keeping the window SORT narrow: measured, it
+    // pays only for genuinely wide payloads (multi-KB token rows); for the
+    // ~130 B rows of the bench fixture the direct path is ~15% faster,
+    // hence default false.
+    val narrow0 = if (lateFetch)
+      df.select((keys.map(col) :+ col(orderCol) :+ col(nTokCol)): _*)
+    else df
+    val narrow = narrow0.withColumn("__shard", shard)
+
+    val withStart = if (!twoLevel) {
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(col(orderCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      narrow.withColumn("__cum_start", sum(col(nTokCol)).over(w) - col(nTokCol))
+    } else {
+      // per-(keys, shard) token totals → running offset in shard order;
+      // the offsets frame has keys × subShards rows (tiny — AQE broadcasts)
+      val offW = Window.partitionBy(keys.map(col): _*).orderBy(col("__shard"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // alignShards: round each shard's span up to a pack boundary, so a
+      // pack never crosses shards. Packs then group by (keys, shard,
+      // pack_id) — a superset of the window's hash partitioning — and
+      // Catalyst elides the aggregation's exchange: the ENTIRE pack job
+      // runs on one shuffle of the data. Cost: the last pack of each shard
+      // may be short (≤ subShards short packs per key group).
+      val span =
+        if (alignShards)
+          floor((col("__tot") + lit(seqLen - 1)) / lit(seqLen)) * seqLen
+        else col("__tot")
+      val offsets = narrow.groupBy((keys.map(col) :+ col("__shard")): _*)
+        .agg(sum(col(nTokCol)).as("__tot"))
+        .withColumn("__offset", sum(span).over(offW) - span)
+        .drop("__tot")
+      val w = Window.partitionBy((keys :+ "__shard").map(col): _*)
+        .orderBy(col(orderCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      narrow.join(offsets, keys :+ "__shard")
+        .withColumn("__cum_start",
+          sum(col(nTokCol)).over(w) - col(nTokCol) + col("__offset"))
+    }
+
+    val withTokens = if (lateFetch)
+      withStart.join(
+        df.select((keys.map(col) :+ col(orderCol) :+ col(tokensCol)): _*),
+        keys :+ orderCol)
+    else withStart
+
+    // with alignShards the shard is part of the grouping so the aggregate
+    // reuses the window's partitioning (no second exchange); pack_id alone
+    // already determines the shard in that mode, so dropping __shard after
+    // is lossless
+    val groupCols =
+      if (alignShards) keys.map(col) :+ col("__shard") :+ col("pack_id")
+      else keys.map(col) :+ col("pack_id")
+    withTokens
+      .select((keys.map(col) :+ col("__shard") :+ col(orderCol) :+
+        col(tokensCol).as("__t") :+ col(nTokCol).as("__n") :+ col("__cum_start")): _*)
       .withColumn("pack_id", floor(col("__cum_start") / seqLen).cast("long"))
-      .groupBy((keys.map(col) :+ col("pack_id")): _*)
+      .groupBy(groupCols: _*)
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("__n")).cast("long").as("n_tok"),
         flatten(transform(
-          sort_array(collect_list(struct(col(orderCol).as("o"), col("__t").as("t")))),
+          sort_array(collect_list(struct(
+            col("__shard").as("s"), col(orderCol).as("o"), col("__t").as("t")))),
           x => x.getField("t"))).as("packed"))
+      .drop("__shard")
   }
 
   /** Token n-grams, one output row per occurrence: (gram: array<int>) —

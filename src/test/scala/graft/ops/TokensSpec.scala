@@ -46,6 +46,62 @@ class TokensSpec extends SparkSpec {
     assert(packed.values.map(_._2).sum == rows.map(_._4.toLong).sum)
   }
 
+  test("two-level packGreedy equals single-level over the (shard, order) layout") {
+    import spark.implicits._
+    val df = docs(19L, n = 150, shards = 2)
+    val b = 8
+    // two-level: shard = doc_id % b, offsets via per-shard prefix sums
+    val two = Tokens.packGreedy(df, Seq("shard"), "doc_id", "tokens", "n_tok",
+      seqLen = 256, subShards = b, shardExpr = Some(pmod(col("doc_id"), lit(b))))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getSeq[Int](4).toList)).toMap
+    // oracle: single-level packing over a synthetic order key that encodes
+    // the same (shard, doc_id) layout
+    val relaid = df.withColumn("__ord2", pmod(col("doc_id"), lit(b)) * 1000000 + col("doc_id"))
+    val one = Tokens.packGreedy(relaid, Seq("shard"), "__ord2", "tokens", "n_tok", 256)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getSeq[Int](4).toList)).toMap
+    assert(two == one)
+    // conservation: every token appears exactly once across packs
+    val totalTokens = df.collect().map(_.getInt(3).toLong).sum
+    assert(two.values.map(_._2).sum == totalTokens)
+  }
+
+  test("aligned two-level packGreedy: packs never cross shards, ids offset by padded spans") {
+    import spark.implicits._
+    val df = docs(23L, n = 130, shards = 2)
+    val b = 4
+    val seqLen = 256
+    val out = Tokens.packGreedy(df, Seq("shard"), "doc_id", "tokens", "n_tok",
+      seqLen, subShards = b, shardExpr = Some(pmod(col("doc_id"), lit(b))),
+      alignShards = true)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getSeq[Int](4).toList)).toMap
+    // naive oracle: per (shard key, sub-shard) pack independently; each
+    // sub-shard's id range starts at (prefix sum of padded spans) / seqLen
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getSeq[Int](2).toList, r.getInt(3)))
+    val expected = rows.groupBy(_._2).flatMap { case (key, ds) =>
+      val byShard = ds.groupBy { case (id, _, _, _) => id % b }.toSeq.sortBy(_._1)
+      var offset = 0L
+      byShard.flatMap { case (_, sds) =>
+        var cum = offset
+        val packs = sds.sortBy(_._1).map { case (_, _, toks, n) =>
+          val pid = cum / seqLen
+          cum += n
+          (pid, toks, n)
+        }.groupBy(_._1).map { case (pid, g) =>
+          (key, pid) -> (g.size.toLong, g.map(_._3.toLong).sum, g.flatMap(_._2).toList)
+        }
+        val tot = sds.map(_._4.toLong).sum
+        offset += (tot + seqLen - 1) / seqLen * seqLen
+        packs
+      }
+    }
+    assert(out == expected)
+    assert(out.values.map(_._2).sum == rows.map(_._4.toLong).sum)
+  }
+
   test("ngrams emit exactly len-n+1 grams per doc; counts match a naive scan") {
     val df = docs(11L, n = 40, shards = 2)
     val grams = Tokens.ngrams(df, "tokens", 3)
