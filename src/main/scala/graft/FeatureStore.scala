@@ -1,7 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, BinaryType, MapType, StructType}
 
 import graft.model._
 import graft.pit.{AsOfJoin, AsOfSpec}
@@ -16,15 +17,23 @@ import graft.materialize.Materialize
   */
 final class FeatureStore(spark: SparkSession, views: Map[String, FeatureView]) {
 
+  /** @param entityTsColumn the entity frame's event-timestamp column; empty
+    *   string (the default) infers it from the schema the way the reference
+    *   does (file.py:62-75): the column literally named `event_timestamp`
+    *   if present, else the unique timestamp-typed column.
+    */
   def getHistoricalFeatures(
       entityDf: DataFrame,
       featureRefs: Seq[String],
-      entityTsColumn: String = "event_timestamp",
+      entityTsColumn: String = "",
       fullFeatureNames: Boolean = false): DataFrame = {
-    require(entityDf.columns.contains(entityTsColumn),
-      s"entity frame is missing timestamp column '$entityTsColumn'")
+    val tsCol =
+      if (entityTsColumn.nonEmpty) entityTsColumn
+      else Inference.eventTimestampColumn(entityDf.schema)
+    require(entityDf.columns.contains(tsCol),
+      s"entity frame is missing timestamp column '$tsCol'")
     val grouped = FeatureRefs.group(FeatureRefs.parse(featureRefs), views, fullFeatureNames)
-    val bounds = Materialize.timestampBounds(entityDf, entityTsColumn)
+    val bounds = Materialize.timestampBounds(entityDf, tsCol)
 
     grouped.toSeq.sortBy(_._1.name).foldLeft(entityDf) { case (acc, (view, feats)) =>
       val keys = view.joinKeys
@@ -32,22 +41,80 @@ final class FeatureStore(spark: SparkSession, views: Map[String, FeatureView]) {
         s"entity frame is missing join key '$k' for view '${view.name}'"))
       val raw = spark.read.parquet(view.source.path)
       val mapped = FieldMapping(raw, view.source.fieldMapping)
-      val pruned = Materialize.pruneToEntityRange(
-        mapped, view.source.eventTimestampColumn, bounds, view.ttlSeconds)
+      val pruned = prunePartitions(
+        Materialize.pruneToEntityRange(
+          mapped, view.source.eventTimestampColumn, bounds, view.ttlSeconds),
+        view, bounds)
       val projected = pruned.select(
         (keys ++ Seq(view.source.eventTimestampColumn) ++
           view.source.createdTimestampColumn.toSeq ++ feats).distinct.map(col): _*)
       val spec = AsOfSpec(
         keys = keys,
-        leftTs = entityTsColumn,
+        leftTs = tsCol,
         rightTs = view.source.eventTimestampColumn,
         createdTs = view.source.createdTimestampColumn,
         ttlSeconds = view.ttlSeconds,
         features = feats)
-      val joined = AsOfJoin.windowed(acc, projected, spec)
+      val joined = joinView(acc, projected, spec, feats)
       feats.foldLeft(joined) { (d, f) =>
         d.withColumnRenamed(f, FeatureRefs.outputName(view.name, f, fullFeatureNames))
       }
     }
   }
+
+  /** Route per payload width: narrow scalar features ride the single-shuffle
+    * windowed as-of join directly; views with array/binary/map/struct
+    * features go through [[AsOfJoin.windowedLate]] so wide payloads never
+    * pass through the window's exchange+sort (the round-1 facade pushed
+    * token arrays through the window — exactly the pattern windowedLate was
+    * built to avoid). The fetch row id is a deterministic hash of the full
+    * projected row: stable across the plan's two computations of the
+    * feature frame, unique up to 64-bit collisions (~n²/2⁶⁵ — a collision
+    * could duplicate one entity row with an identical-hash payload; at that
+    * probability this is the standard engineering trade).
+    */
+  private def joinView(
+      acc: DataFrame,
+      projected: DataFrame,
+      spec: AsOfSpec,
+      feats: Seq[String]): DataFrame = {
+    val wide = projected.schema.fields.exists(f =>
+      feats.contains(f.name) && (f.dataType match {
+        case _: ArrayType | _: BinaryType | _: MapType | _: StructType => true
+        case _ => false
+      }))
+    if (!wide) AsOfJoin.windowed(acc, projected, spec)
+    else {
+      val rowId = "__graft_rowid"
+      val withId = projected.withColumn(
+        rowId, xxhash64(projected.columns.map(col).toSeq: _*))
+      AsOfJoin.windowedLate(acc, withId, spec, rowId = rowId).drop(rowId)
+    }
+  }
+
+  /** `date_partition_column` read-side pruning (reference:
+    * data_source.py:446-458 + bigquery.py:596-599): convert the entity
+    * timestamp bounds into a partition-column predicate so the scan prunes
+    * whole date partitions even where parquet min/max stats are weak. The
+    * lower bound is widened by the view TTL (a feature row up to `ttl`
+    * before the earliest entity timestamp can still match).
+    */
+  private def prunePartitions(
+      feature: DataFrame,
+      view: FeatureView,
+      bounds: (Any, Any)): DataFrame =
+    view.source.datePartitionColumn match {
+      case None => feature
+      case Some(dpc) =>
+        val (lo, hi) = bounds
+        val lower: Column = view.ttlSeconds match {
+          case Some(ttl) => to_date(lit(lo) - expr(s"INTERVAL $ttl SECONDS"))
+          case None => lit(null) // unbounded lookback: no lower partition cut
+        }
+        val lowerOk = view.ttlSeconds match {
+          case Some(_) => col(dpc) >= lower
+          case None => lit(true)
+        }
+        feature.where(lowerOk && col(dpc) <= to_date(lit(hi)))
+    }
 }

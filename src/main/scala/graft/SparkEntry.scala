@@ -381,11 +381,14 @@ object SparkEntry {
   }
 
   /** Greedy sequence packing (LLM pretraining pack-to-context-length):
-    * per-lang shards, doc_id order, 256-token packs.
+    * per-lang groups, 256-token packs, TWO-LEVEL sub-sharded so no single
+    * task ever sorts a whole language (shard = doc_id % 16 — mirrored
+    * exactly in the DuckDB oracle; layout order is (shard, doc_id)).
     */
   private def q37PackSequences(spark: SparkSession, dir: String): DataFrame =
     Tokens.packGreedy(derivedTokens(spark, dir), Seq("lang"), "doc_id",
-      "tokens", "n_tok", seqLen = 256)
+      "tokens", "n_tok", seqLen = 256,
+      subShards = 16, shardExpr = Some(pmod(col("doc_id"), lit(16))))
       .select(col("lang"), col("pack_id"), col("n_docs"), col("n_tok"),
         arrayDigest(col("packed")).as("packed_str"))
 
@@ -397,6 +400,71 @@ object SparkEntry {
       .select(element_at(col("gram"), 1).as("t1"),
         element_at(col("gram"), 2).as("t2"),
         element_at(col("gram"), 3).as("t3"), col("cnt"))
+
+  /** Facade retrieval of an ARRAY feature (token payload): the q18 scenario
+    * driven through the public FeatureStore API — the store detects the wide
+    * payload and routes through windowedLate (narrow window + broadcast-semi
+    * late fetch; see FeatureStore.joinView), so this gate row also proves
+    * the wide-payload routing end-to-end. Same oracle as q18.
+    */
+  private def q41FeatureStoreTokens(spark: SparkSession, dir: String): DataFrame = {
+    val out = "/tmp/graft_verify_sink/q41_src"
+    val anchor = 1618185600L
+    val docs = tbl(spark, dir, "documents")
+    docs.select(
+      col("lang"),
+      timestamp_seconds(lit(anchor) + col("doc_id") * 60).as("fts"),
+      col("doc_id").as("src_doc"),
+      transform(
+        sequence(lit(1), least(col("n_chars"), lit(32)).cast("int")),
+        i => ascii(col("text").substr(i, lit(1)))).as("tokens"))
+      .write.mode("overwrite").parquet(out)
+    val view = FeatureView(
+      "tokview",
+      entities = Seq(Entity("lang", ValueType.STRING)),
+      features = Seq(
+        Feature("src_doc", ValueType.INT64),
+        Feature("tokens", ValueType.ListOf(ValueType.INT32))),
+      source = BatchSource(out, eventTimestampColumn = "fts",
+        createdTimestampColumn = Some("src_doc")),
+      ttlSeconds = Some(3600L))
+    val store = new FeatureStore(spark, Map("tokview" -> view))
+    val entity = docs.select(
+      col("doc_id").as("probe_id"),
+      col("lang"),
+      timestamp_seconds(lit(anchor) + col("doc_id") * 60 + 90).as("pts"))
+    store.getHistoricalFeatures(entity, Seq("tokview:src_doc", "tokview:tokens"),
+      entityTsColumn = "pts")
+      .select(col("probe_id"), col("lang"), col("src_doc"),
+        arrayDigest(col("tokens")).as("tokens_str"))
+  }
+
+  /** Multi-view multi-feature online lookup (the full get_online_features
+    * assembly): two views over events with different TTLs, two features in
+    * one view, per-feature statuses covering PRESENT / NOT_FOUND /
+    * OUTSIDE_MAX_AGE / NULL_VALUE (value nulled on event_id % 97 == 0 so
+    * NULL_VALUE provably occurs). Probe keys include ids with no history.
+    */
+  private def q42OnlineMulti(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(spark, dir, "events")
+      .withColumn("nval",
+        when(col("event_id") % 97 === 0, lit(null)).otherwise(col("value")))
+    val keys = spark.range(-5, 155).select(col("id").as("user_id"))
+    val views = Seq(
+      Materialize.OnlineView("purch",
+        ev.where(col("event_type") === "purchase"),
+        Seq("user_id"), "ts", Seq("nval", "props"),
+        ttlSeconds = Some(48L * 3600), ties = Seq("event_id")),
+      Materialize.OnlineView("clicks",
+        ev.where(col("event_type") === "click"),
+        Seq("user_id"), "ts", Seq("nval"),
+        ttlSeconds = Some(2L * 3600), ties = Seq("event_id")))
+    Materialize.lookupMulti(keys, views, ts("2024-01-20T00:00:00Z"))
+      .select(col("user_id"),
+        col("purch__nval"), col("purch__nval__status"),
+        col("purch__props"), col("purch__props__status"),
+        col("clicks__nval"), col("clicks__nval__status"))
+  }
 
   // -- rows-only operators (no exact SQL oracle) -------------------------
 
@@ -488,7 +556,9 @@ object SparkEntry {
     "q37_pack_sequences" -> (q37PackSequences _),
     "q38_token_ngrams" -> (q38TokenNgrams _),
     "q39_ann_ivf" -> (q39AnnIvf _),
-    "q40_jaccard_prefix" -> (q40JaccardPrefix _))
+    "q40_jaccard_prefix" -> (q40JaccardPrefix _),
+    "q41_fs_tokens" -> (q41FeatureStoreTokens _),
+    "q42_online_multi" -> (q42OnlineMulti _))
 
   /** DuckDB oracles. Keys absent here (q22-q26) are LSH/heuristic/stub ops
     * whose exact output is not ANSI-SQL-expressible; the driver records a
@@ -713,16 +783,22 @@ object SparkEntry {
         |       ELSE 'PRESENT' END AS status
         |FROM keys k LEFT JOIN latest l USING (user_id)""".stripMargin,
     "q37_pack_sequences" ->
-      """WITH toks AS (SELECT doc_id, lang, CAST(least(n_chars, 64) AS INT) AS n,
+      """WITH toks AS (SELECT doc_id, lang, doc_id % 16 AS shard,
+        |    CAST(least(n_chars, 64) AS INT) AS n,
         |    list_transform(range(1, CAST(least(n_chars, 64) AS INT) + 1),
         |      i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS INT)) AS t
         |  FROM documents),
-        |c AS (SELECT *, SUM(n) OVER (PARTITION BY lang ORDER BY doc_id
-        |        ROWS UNBOUNDED PRECEDING) - n AS cum_start FROM toks)
+        |c AS (SELECT *, SUM(n) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |        ROWS UNBOUNDED PRECEDING) - n AS w_start FROM toks),
+        |tot AS (SELECT lang, shard, SUM(n) AS tot FROM toks GROUP BY 1, 2),
+        |off AS (SELECT lang, shard, SUM(tot) OVER (PARTITION BY lang ORDER BY shard
+        |        ROWS UNBOUNDED PRECEDING) - tot AS off FROM tot),
+        |p AS (SELECT c.lang, c.shard, c.doc_id, c.n, c.t, c.w_start + off.off AS cum_start
+        |      FROM c JOIN off USING (lang, shard))
         |SELECT lang, CAST(floor(cum_start / 256) AS BIGINT) AS pack_id,
         |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tok,
-        |  array_to_string(flatten(list(t ORDER BY doc_id)), ',') AS packed_str
-        |FROM c GROUP BY 1, 2""".stripMargin,
+        |  array_to_string(flatten(list(t ORDER BY shard, doc_id)), ',') AS packed_str
+        |FROM p GROUP BY 1, 2""".stripMargin,
     "q40_jaccard_prefix" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
@@ -733,6 +809,45 @@ object SparkEntry {
         |SELECT id1, id2, round(CAST(ix AS DOUBLE) / (s1.n + s2.n - ix), 6) AS jaccard
         |FROM inter JOIN sz s1 ON id1 = s1.doc_id JOIN sz s2 ON id2 = s2.doc_id
         |WHERE round(CAST(ix AS DOUBLE) / (s1.n + s2.n - ix), 6) >= 0.4""".stripMargin,
+    "q41_fs_tokens" ->
+      """WITH f AS (SELECT lang, doc_id AS src_doc, 1618185600 + doc_id*60 AS fe,
+        |    list_transform(range(1, least(n_chars, 32) + 1),
+        |      i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS INT)) AS tokens
+        |  FROM documents),
+        |e AS (SELECT doc_id AS probe_id, lang, 1618185600 + doc_id*60 + 90 AS pe FROM documents),
+        |j AS (SELECT e.probe_id, e.lang, f.src_doc, f.tokens,
+        |    ROW_NUMBER() OVER (PARTITION BY e.probe_id ORDER BY f.fe DESC, f.src_doc DESC) rn
+        |  FROM e LEFT JOIN f ON e.lang = f.lang AND f.fe <= e.pe AND f.fe >= e.pe - 3600)
+        |SELECT probe_id, lang, src_doc, array_to_string(tokens, ',') AS tokens_str
+        |FROM j WHERE rn = 1""".stripMargin,
+    "q42_online_multi" ->
+      """WITH ev AS (SELECT *, CASE WHEN event_id % 97 = 0 THEN NULL ELSE value END AS nval
+        |  FROM events),
+        |keys AS (SELECT CAST(range AS BIGINT) AS user_id FROM range(-5, 155)),
+        |p AS (SELECT user_id, ts, nval, props FROM (
+        |    SELECT user_id, ts, nval, props,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+        |    FROM ev WHERE event_type = 'purchase' AND ts <= TIMESTAMP '2024-01-20 00:00:00')
+        |  WHERE rn = 1),
+        |c AS (SELECT user_id, ts, nval FROM (
+        |    SELECT user_id, ts, nval,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+        |    FROM ev WHERE event_type = 'click' AND ts <= TIMESTAMP '2024-01-20 00:00:00')
+        |  WHERE rn = 1)
+        |SELECT k.user_id,
+        |  p.nval AS purch__nval,
+        |  CASE WHEN p.ts IS NULL THEN 'NOT_FOUND'
+        |       WHEN p.ts < TIMESTAMP '2024-01-20 00:00:00' - INTERVAL 48 HOUR THEN 'OUTSIDE_MAX_AGE'
+        |       WHEN p.nval IS NULL THEN 'NULL_VALUE' ELSE 'PRESENT' END AS purch__nval__status,
+        |  p.props AS purch__props,
+        |  CASE WHEN p.ts IS NULL THEN 'NOT_FOUND'
+        |       WHEN p.ts < TIMESTAMP '2024-01-20 00:00:00' - INTERVAL 48 HOUR THEN 'OUTSIDE_MAX_AGE'
+        |       WHEN p.props IS NULL THEN 'NULL_VALUE' ELSE 'PRESENT' END AS purch__props__status,
+        |  c.nval AS clicks__nval,
+        |  CASE WHEN c.ts IS NULL THEN 'NOT_FOUND'
+        |       WHEN c.ts < TIMESTAMP '2024-01-20 00:00:00' - INTERVAL 2 HOUR THEN 'OUTSIDE_MAX_AGE'
+        |       WHEN c.nval IS NULL THEN 'NULL_VALUE' ELSE 'PRESENT' END AS clicks__nval__status
+        |FROM keys k LEFT JOIN p USING (user_id) LEFT JOIN c USING (user_id)""".stripMargin,
     "q38_token_ngrams" ->
       """WITH toks AS (SELECT list_transform(range(1, CAST(least(n_chars, 64) AS INT) + 1),
         |    i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS INT)) AS t

@@ -104,6 +104,66 @@ object Materialize {
         .otherwise(lit("PRESENT")))
   }
 
+  /** One view's worth of online-lookup inputs for [[Materialize.lookupMulti]]:
+    * a feature history plus the metadata needed to resolve its latest row
+    * per key and name its outputs.
+    */
+  final case class OnlineView(
+      name: String,
+      history: DataFrame,
+      keyCols: Seq[String],
+      ts: String,
+      features: Seq[String],
+      ttlSeconds: Option[Long] = None,
+      createdTs: Option[String] = None,
+      ties: Seq[String] = Nil)
+
+  /** Multi-view / multi-feature online lookup — the full
+    * `get_online_features` response assembly (feast
+    * feature_store.py:503-617; online_response.py:74-110): one output row
+    * per requested key tuple, with a value column and a status column PER
+    * FEATURE across all views (`view__feature`, `view__feature__status`).
+    * Statuses per feature:
+    *
+    *  - NOT_FOUND: the key has no row in that view at or before `asOf`;
+    *  - OUTSIDE_MAX_AGE: the view's latest row is older than `asOf - ttl`;
+    *  - NULL_VALUE: a row matched but that feature's value is null;
+    *  - PRESENT: otherwise.
+    *
+    * Plan: per view one latest-per-key hash aggregate over the ts-bounded
+    * history (filter pushed to the scan), folded onto the key frame with
+    * left joins — the key frame is usually small enough that every join
+    * broadcasts.
+    */
+  def lookupMulti(
+      keys: DataFrame,
+      views: Seq[OnlineView],
+      asOf: java.sql.Timestamp): DataFrame =
+    views.foldLeft(keys) { (acc, v) =>
+      val tsOut = s"__graft_ts_${v.name}"
+      val projected = v.history.select(
+        (v.keyCols ++ Seq(v.ts) ++ v.createdTs.toSeq ++ v.ties ++ v.features)
+          .distinct.map(col): _*)
+      val latest = latestPerKey(
+        projected.where(col(v.ts) <= lit(asOf)), v.keyCols, v.ts, v.createdTs, v.ties)
+        .withColumnRenamed(v.ts, tsOut)
+        .select((v.keyCols.map(col) :+ col(tsOut)) ++ v.features.map(col): _*)
+      val joined = acc.join(latest, v.keyCols, "left")
+      val expired: Column = v.ttlSeconds match {
+        case Some(t) => col(tsOut) < lit(asOf) - expr(s"INTERVAL $t SECONDS")
+        case None => lit(false)
+      }
+      v.features.foldLeft(joined) { (d, f) =>
+        val out = s"${v.name}__$f"
+        d.withColumn(s"${out}__status",
+          when(col(tsOut).isNull, lit("NOT_FOUND"))
+            .when(expired, lit("OUTSIDE_MAX_AGE"))
+            .when(col(f).isNull, lit("NULL_VALUE"))
+            .otherwise(lit("PRESENT")))
+          .withColumnRenamed(f, out)
+      }.drop(tsOut)
+    }
+
   /** Entity-frame timestamp bounds (bigquery.py:415-434): one tiny agg job
     * whose result is injected as scan-pruning literals on the feature side.
     * Values are whatever the timestamp column yields (java.sql.Timestamp for

@@ -66,4 +66,82 @@ class FeatureStoreSpec extends SparkSpec {
     assert(rows(100L) == (Some(0.7), None))
     assert(rows(101L) == (Some(0.9), None))
   }
+
+  test("array features route through windowedLate and match the scalar-path result") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fs_wide").toString
+    Seq(
+      (1L, t(10), 1L, Seq(1, 2, 3), 0.5),
+      (1L, t(20), 2L, Seq(4, 5), 0.7),
+      (2L, t(10), 3L, Seq(9), 0.9))
+      .toDF("driver_id", "event_timestamp", "created", "toks", "rate")
+      .write.parquet(s"$dir/src.parquet")
+    val view = FeatureView("seqs",
+      Seq(Entity("driver", ValueType.INT64, Some("driver_id"))),
+      Seq(Feature("toks", ValueType.ListOf(ValueType.INT32)),
+        Feature("rate", ValueType.DOUBLE)),
+      BatchSource(s"$dir/src.parquet", "event_timestamp", Some("created")),
+      ttlSeconds = Some(3600L))
+    val store = new FeatureStore(spark, Map("seqs" -> view))
+    val entity = Seq((100L, 1L, t(25)), (101L, 2L, t(25)), (102L, 3L, t(25)))
+      .toDF("order_id", "driver_id", "event_timestamp")
+
+    val out = store.getHistoricalFeatures(entity, Seq("seqs:toks", "seqs:rate"))
+      .collect().map { r =>
+        val toks = if (r.isNullAt(r.fieldIndex("toks"))) Nil
+          else r.getSeq[Int](r.fieldIndex("toks")).toList
+        r.getLong(r.fieldIndex("order_id")) -> toks
+      }.toMap
+    assert(out(100L) == List(4, 5)) // latest within ttl
+    assert(out(101L) == List(9))
+    assert(out(102L) == Nil) // no history for driver 3 → null feature
+
+    // the physical plan must show the late-fetch shape: a broadcast
+    // semi-prune + equi-join fetch, not the array riding the window sort
+    val plan = store.getHistoricalFeatures(entity, Seq("seqs:toks"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), "expected broadcast-semi late fetch in plan")
+  }
+
+  test("entity timestamp column is inferred when not named (reference inference)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fs_infer").toString
+    Seq((1L, t(10), t(10), 0.5))
+      .toDF("driver_id", "event_timestamp", "created", "rate")
+      .write.parquet(s"$dir/src.parquet")
+    val view = FeatureView("v",
+      Seq(Entity("driver", ValueType.INT64, Some("driver_id"))),
+      Seq(Feature("rate", ValueType.DOUBLE)),
+      BatchSource(s"$dir/src.parquet", "event_timestamp", Some("created")))
+    val store = new FeatureStore(spark, Map("v" -> view))
+    // entity frame's only timestamp column is named "ts" — inferred
+    val entity = Seq((100L, 1L, t(25))).toDF("order_id", "driver_id", "ts")
+    val out = store.getHistoricalFeatures(entity, Seq("v:rate")).collect()
+    assert(out.length == 1 && out.head.getDouble(out.head.fieldIndex("rate")) == 0.5)
+  }
+
+  test("date_partition_column prunes partitions from the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fs_dpc").toString
+    val rows = (0 until 20).map { d =>
+      (1L, t(d * 24 * 60L), t(d * 24 * 60L), d.toDouble)
+    }
+    rows.toDF("driver_id", "event_timestamp", "created", "rate")
+      .withColumn("ds", to_date(col("event_timestamp")))
+      .write.partitionBy("ds").parquet(s"$dir/src.parquet")
+    val view = FeatureView("v",
+      Seq(Entity("driver", ValueType.INT64, Some("driver_id"))),
+      Seq(Feature("rate", ValueType.DOUBLE)),
+      BatchSource(s"$dir/src.parquet", "event_timestamp", Some("created"),
+        datePartitionColumn = Some("ds")),
+      ttlSeconds = Some(2L * 24 * 3600)) // 2-day lookback
+    val store = new FeatureStore(spark, Map("v" -> view))
+    val entity = Seq((100L, 1L, t(10 * 24 * 60L))).toDF("order_id", "driver_id", "event_timestamp")
+    val df = store.getHistoricalFeatures(entity, Seq("v:rate"))
+    // correct value: the day-10 row itself (same-timestamp inclusive)
+    val out = df.collect()
+    assert(out.head.getDouble(out.head.fieldIndex("rate")) == 10.0)
+    // scan must read only the partitions inside [day8, day10]
+    val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val featureScan = scans.find(_.contains("src.parquet")).get
+    assert(featureScan.contains("PartitionFilters") &&
+      featureScan.contains("ds"), s"no partition filter in: $featureScan")
+  }
 }

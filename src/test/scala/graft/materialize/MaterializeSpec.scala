@@ -1,0 +1,56 @@
+package graft.materialize
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Multi-view online lookup vs a hand-computed oracle: per-feature value +
+  * status assembly across views with different TTLs (the reference's
+  * get_online_features response, feature_store.py:503-617).
+  */
+class MaterializeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(min: Long) = new Timestamp(1618185600000L + min * 60000L)
+
+  test("lookupMulti: per-feature statuses across two views (all four statuses)") {
+    // view A history: key 1 fresh (value present), key 2 fresh (value NULL),
+    // key 3 stale (beyond ttl); key 4 absent entirely
+    val a = Seq(
+      (1L, t(50), Some(1.5), "x1"),
+      (1L, t(40), Some(9.9), "x0"), // superseded by t50
+      (2L, t(55), None, "x2"),
+      (3L, t(1), Some(3.0), "x3"))
+      .toDF("k", "ts", "v", "tag")
+    // view B: only key 2 has history
+    val b = Seq((2L, t(58), 7.0)).toDF("k", "ts", "w")
+    val keys = Seq(1L, 2L, 3L, 4L).toDF("k")
+
+    val out = Materialize.lookupMulti(
+      keys,
+      Seq(
+        Materialize.OnlineView("a", a, Seq("k"), "ts", Seq("v", "tag"),
+          ttlSeconds = Some(30L * 60)),
+        Materialize.OnlineView("b", b, Seq("k"), "ts", Seq("w"),
+          ttlSeconds = None)),
+      asOf = t(60))
+      .collect().map { r =>
+        def s(c: String) = r.getString(r.fieldIndex(c))
+        r.getLong(0) -> (s("a__v__status"), s("a__tag__status"), s("b__w__status"))
+      }.toMap
+
+    assert(out(1L) == (("PRESENT", "PRESENT", "NOT_FOUND")))
+    assert(out(2L) == (("NULL_VALUE", "PRESENT", "PRESENT")))
+    assert(out(3L) == (("OUTSIDE_MAX_AGE", "OUTSIDE_MAX_AGE", "NOT_FOUND")))
+    assert(out(4L) == (("NOT_FOUND", "NOT_FOUND", "NOT_FOUND")))
+
+    // values travel alongside statuses
+    val vals = Materialize.lookupMulti(
+      keys, Seq(Materialize.OnlineView("a", a, Seq("k"), "ts", Seq("v"))), t(60))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(vals(1L) == Some(1.5) && vals(2L) == None && vals(3L) == Some(3.0))
+  }
+}
