@@ -466,6 +466,11 @@ object SparkEntry {
         col("clicks__nval"), col("clicks__nval__status"))
   }
 
+  /** Fixed-width tensorization: truncate to 48 tokens, right-pad with 0. */
+  private def q43TruncatePad(spark: SparkSession, dir: String): DataFrame =
+    derivedTokens(spark, dir).select(col("doc_id"),
+      arrayDigest(Tokens.truncatePad(col("tokens"), 48, 0)).as("padded_str"))
+
   // -- rows-only operators (no exact SQL oracle) -------------------------
 
   /** Embedding-cosine near-duplicate pairs via sign-LSH buckets. */
@@ -558,7 +563,8 @@ object SparkEntry {
     "q39_ann_ivf" -> (q39AnnIvf _),
     "q40_jaccard_prefix" -> (q40JaccardPrefix _),
     "q41_fs_tokens" -> (q41FeatureStoreTokens _),
-    "q42_online_multi" -> (q42OnlineMulti _))
+    "q42_online_multi" -> (q42OnlineMulti _),
+    "q43_truncate_pad" -> (q43TruncatePad _))
 
   /** DuckDB oracles. Keys absent here (q22-q26) are LSH/heuristic/stub ops
     * whose exact output is not ANSI-SQL-expressible; the driver records a
@@ -848,6 +854,15 @@ object SparkEntry {
         |       WHEN c.ts < TIMESTAMP '2024-01-20 00:00:00' - INTERVAL 2 HOUR THEN 'OUTSIDE_MAX_AGE'
         |       WHEN c.nval IS NULL THEN 'NULL_VALUE' ELSE 'PRESENT' END AS clicks__nval__status
         |FROM keys k LEFT JOIN p USING (user_id) LEFT JOIN c USING (user_id)""".stripMargin,
+    "q43_truncate_pad" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_transform(range(1, CAST(least(n_chars, 64) AS INT) + 1),
+        |      i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS INT)) AS t
+        |  FROM documents)
+        |SELECT doc_id, array_to_string(
+        |  list_concat(t[1:48],
+        |    list_transform(range(1, 48 - least(len(t), 48) + 1), x -> 0)), ',') AS padded_str
+        |FROM toks""".stripMargin,
     "q38_token_ngrams" ->
       """WITH toks AS (SELECT list_transform(range(1, CAST(least(n_chars, 64) AS INT) + 1),
         |    i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS INT)) AS t

@@ -77,6 +77,36 @@ final case class BatchSource(
     fieldMapping: Map[String, String] = Map.empty,
     datePartitionColumn: Option[String] = None)
 
+/** Payload format of a stream source (data_format.py:69-133 StreamFormat:
+  * Avro/Proto/Json). Json and Csv decode with built-in `from_json` /
+  * `from_csv`; Avro requires the spark-avro module (not shipped in this
+  * offline sandbox), so the ADT carries the schema string as the
+  * registry-level contract and decoding raises until the jar is present —
+  * the same boundary the reference draws (format metadata in the registry,
+  * decode at ingestion).
+  */
+sealed trait StreamFormat
+object StreamFormat {
+  final case class Json(schema: org.apache.spark.sql.types.StructType) extends StreamFormat
+  final case class Csv(schema: org.apache.spark.sql.types.StructType) extends StreamFormat
+  final case class Avro(schemaJson: String) extends StreamFormat
+}
+
+/** Stream source descriptor (data_source.py:783-914 KafkaSource /
+  * KinesisSource): transport coordinates are registry metadata (no broker
+  * exists in this sandbox); the payload contract — format + timestamp
+  * column + field mapping — drives [[graft.streaming.StreamFeatures.decode]]
+  * over any raw stream with the Kafka wire shape (a binary/string `value`
+  * column).
+  */
+final case class StreamSource(
+    topic: String,
+    bootstrapServers: String,
+    format: StreamFormat,
+    eventTimestampColumn: String,
+    createdTimestampColumn: Option[String] = None,
+    fieldMapping: Map[String, String] = Map.empty)
+
 /** Logical feature group over one source (feature_view.py:42-102).
   * ttl = as-of join tolerance / max_age, in seconds; None = unbounded
   * lookback (feature_view.py:233-238, bigquery.py:597).

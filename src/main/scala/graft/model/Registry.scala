@@ -81,4 +81,30 @@ final class Registry(spark: SparkSession, path: String) {
 
   /** Convenience: a FeatureStore over the currently applied views. */
   def featureStore(): graft.FeatureStore = new graft.FeatureStore(spark, load())
+
+  /** Conventional per-view checkpoint-log location under the registry
+    * (reference keeps materialization intervals IN the registry,
+    * registry.py:208-246; here the hot append path stays a log file and
+    * the registry reads through).
+    */
+  def intervalLogPath(view: String): String =
+    java.nio.file.Paths.get(path).resolveSibling(s"intervals_$view.log").toString
+
+  /** Completed materialization intervals for a view, sorted ascending —
+    * the registry's answer to "what's materialized?". Reads the view's
+    * conventional checkpoint log (or an explicit one).
+    */
+  def materializedIntervals(
+      view: String,
+      checkpointPath: Option[String] = None): Seq[(java.time.Instant, java.time.Instant)] = {
+    val log = new graft.fe.Backfill.CheckpointLog(
+      checkpointPath.getOrElse(intervalLogPath(view)))
+    log.completed.toSeq
+      .flatMap(_.split('_') match {
+        case Array(lo, hi) =>
+          scala.util.Try((java.time.Instant.parse(lo), java.time.Instant.parse(hi))).toOption
+        case _ => None
+      })
+      .sortBy(_._1)
+  }
 }

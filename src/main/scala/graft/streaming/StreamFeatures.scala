@@ -14,6 +14,32 @@ import org.apache.spark.sql.functions._
   */
 object StreamFeatures {
 
+  /** Decode a raw stream with the Kafka wire shape (binary or string
+    * `value` column) into typed rows per a [[graft.model.StreamSource]]
+    * contract: parse with `from_json`/`from_csv` against the declared
+    * schema, then apply the source's field mapping — the execution half of
+    * the reference's stream-source + stream-format registry metadata
+    * (data_source.py:783-914, data_format.py:69-133). Works identically on
+    * a static DataFrame (tests, backfill-from-log replay) and a streaming
+    * one (`readStream.format("kafka")` upstream in production).
+    */
+  def decode(raw: DataFrame, source: graft.model.StreamSource): DataFrame = {
+    import graft.model.StreamFormat
+    val payload = col("value").cast("string")
+    val parsed = source.format match {
+      case StreamFormat.Json(schema) =>
+        raw.withColumn("__graft_p", from_json(payload, schema))
+      case StreamFormat.Csv(schema) =>
+        raw.withColumn("__graft_p",
+          from_csv(payload, schema, Map.empty[String, String]))
+      case StreamFormat.Avro(_) =>
+        throw new UnsupportedOperationException(
+          "Avro decode needs the spark-avro module (org.apache.spark.sql.avro.functions.from_avro); " +
+            "not available in this offline build")
+    }
+    graft.model.FieldMapping(parsed.select(col("__graft_p.*")), source.fieldMapping)
+  }
+
   /** Watermarked tumbling counts/sums per key. Late data beyond
     * `watermarkDelay` is dropped (state is bounded — mandatory at scale).
     */

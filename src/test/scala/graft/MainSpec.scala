@@ -61,6 +61,13 @@ class MainSpec extends SparkSpec {
       "2021-04-14T00:00:00Z", s"$dir/table", s"$dir/ckpt.log"))
     assert(SnapshotTable(s"$dir/table").currentSnapshotId == snapBefore)
 
+    // the registry answers "what's materialized?" from the checkpoint log
+    val intervals = new Registry(spark, s"$dir/registry")
+      .materializedIntervals("driver_stats", Some(s"$dir/ckpt.log"))
+    assert(intervals.size == 2)
+    assert(intervals.head._1.toString == "2021-04-12T00:00:00Z")
+    assert(intervals.last._2.toString == "2021-04-14T00:00:00Z")
+
     // retrieve: CLI output equals the direct API result
     Seq((100L, 1L, t(30 * 60L)), (101L, 2L, t(30 * 60L)))
       .toDF("order_id", "driver_id", "event_timestamp")
