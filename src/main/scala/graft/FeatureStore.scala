@@ -62,6 +62,29 @@ final class FeatureStore(spark: SparkSession, views: Map[String, FeatureView]) {
     }
   }
 
+  /** Online lookup through the registry — the reference's
+    * `get_online_features` (feature_store.py:503-617) re-expressed as a
+    * batch point lookup at `asOf`: refs resolve to views, each view's
+    * source is scanned/field-mapped, and [[Materialize.lookupMulti]]
+    * assembles one row per requested key with `view__feature` values and
+    * per-feature statuses.
+    */
+  def getOnlineFeatures(
+      keys: DataFrame,
+      featureRefs: Seq[String],
+      asOf: java.sql.Timestamp): DataFrame = {
+    val grouped = FeatureRefs.group(
+      FeatureRefs.parse(featureRefs), views, fullFeatureNames = true)
+    val online = grouped.toSeq.sortBy(_._1.name).map { case (view, feats) =>
+      val mapped = FieldMapping(
+        spark.read.parquet(view.source.path), view.source.fieldMapping)
+      Materialize.OnlineView(view.name, mapped, view.joinKeys,
+        view.source.eventTimestampColumn, feats, view.ttlSeconds,
+        view.source.createdTimestampColumn)
+    }
+    Materialize.lookupMulti(keys, online, asOf)
+  }
+
   /** Route per payload width: narrow scalar features ride the single-shuffle
     * windowed as-of join directly; views with array/binary/map/struct
     * features go through [[AsOfJoin.windowedLate]] so wide payloads never

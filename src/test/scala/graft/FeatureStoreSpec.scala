@@ -65,6 +65,19 @@ class FeatureStoreSpec extends SparkSpec {
     // within 1h); rider row at t50 is in the FUTURE → null.
     assert(rows(100L) == (Some(0.7), None))
     assert(rows(101L) == (Some(0.9), None))
+
+    // online lookup through the same registry views: latest value per key
+    // at asOf with per-feature statuses (driver 3 has no history)
+    val online = reg.featureStore().getOnlineFeatures(
+      Seq(1L, 2L, 3L).toDF("driver_id"),
+      Seq("driver_stats:rate", "rider_stats:rate"), t(25))
+      .collect().map { r =>
+        def s(c: String) = r.getString(r.fieldIndex(c))
+        r.getLong(0) -> (s("driver_stats__rate__status"), s("rider_stats__rate__status"))
+      }.toMap
+    assert(online(1L) == (("PRESENT", "OUTSIDE_MAX_AGE")))
+    assert(online(2L) == (("PRESENT", "NOT_FOUND"))) // rider row only in the future
+    assert(online(3L) == (("NOT_FOUND", "NOT_FOUND")))
   }
 
   test("array features route through windowedLate and match the scalar-path result") {
