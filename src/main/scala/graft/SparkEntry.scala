@@ -566,10 +566,11 @@ object SparkEntry {
     "q42_online_multi" -> (q42OnlineMulti _),
     "q43_truncate_pad" -> (q43TruncatePad _))
 
-  /** DuckDB oracles. Keys absent here (q22-q26) are LSH/heuristic/stub ops
-    * whose exact output is not ANSI-SQL-expressible; the driver records a
-    * rows-only check for those, and their semantics are covered by ScalaTest
-    * specs against independent oracles instead.
+  /** DuckDB oracles. Keys absent here (q22/q23/q24/q26/q32/q39) are ops
+    * whose exact output depends on xxhash64-derived signatures or binary
+    * decode that DuckDB cannot reproduce; the driver records a rows-only
+    * check for those, and their semantics are covered by ScalaTest specs
+    * against independent oracles instead.
     */
   def oracleSql: Map[String, String] = Map(
     "q01_pit_asof" ->
@@ -854,6 +855,29 @@ object SparkEntry {
         |       WHEN c.ts < TIMESTAMP '2024-01-20 00:00:00' - INTERVAL 2 HOUR THEN 'OUTSIDE_MAX_AGE'
         |       WHEN c.nval IS NULL THEN 'NULL_VALUE' ELSE 'PRESENT' END AS clicks__nval__status
         |FROM keys k LEFT JOIN p USING (user_id) LEFT JOIN c USING (user_id)""".stripMargin,
+    "q34_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe
+        |FROM documents""".stripMargin,
+    "q25_lang_id" ->
+      """WITH w AS (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS ws FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  len(list_filter(ws, x -> x IN ('the','and','of','to','is','in','that','it','for','with')))
+        |    / CAST(len(ws) AS DOUBLE) AS en,
+        |  len(list_filter(ws, x -> x IN ('el','la','de','que','y','en','los','del','se','las')))
+        |    / CAST(len(ws) AS DOUBLE) AS es,
+        |  len(list_filter(ws, x -> x IN ('le','la','de','et','les','des','est','un','une','dans')))
+        |    / CAST(len(ws) AS DOUBLE) AS fr,
+        |  len(list_filter(ws, x -> x IN ('der','die','und','das','ist','von','den','mit','für','auf')))
+        |    / CAST(len(ws) AS DOUBLE) AS de
+        |  FROM w)
+        |SELECT doc_id, lang,
+        |  CASE WHEN greatest(en, es, fr, de) <= 0 THEN 'und'
+        |       WHEN fr >= es AND fr >= en AND fr >= de THEN 'fr'
+        |       WHEN es >= en AND es >= de THEN 'es'
+        |       WHEN en >= de THEN 'en'
+        |       ELSE 'de' END AS lang_guess
+        |FROM s""".stripMargin,
     "q43_truncate_pad" ->
       """WITH toks AS (SELECT doc_id,
         |    list_transform(range(1, CAST(least(n_chars, 64) AS INT) + 1),

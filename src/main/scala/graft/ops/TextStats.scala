@@ -17,14 +17,16 @@ object TextStats {
     when(length(trim(text)) === 0, lit(0L))
       .otherwise(size(split(trim(text), "\\s+")).cast("long"))
 
-  /** BPE-ish subword token estimate: word-initial pieces + punctuation +
-    * digit runs, via a GPT-2-style pretokenizer regex. An estimate, not a
-    * real BPE merge — but deterministic and cheap at 100 TB.
+  /** BPE-ish subword token estimate: one token per letter run, digit run,
+    * or punctuation run — a GPT-2-style pretokenizer expressed as a MATCH
+    * regex (no lookarounds, so the same pattern runs under Java regex here
+    * and RE2 in the DuckDB oracle). An estimate, not a real BPE merge —
+    * deterministic and cheap at 100 TB.
     */
+  val BpeTokenPattern = """[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"""
+
   def bpeTokenEstimate(text: Column): Column =
-    size(filter(
-      split(text, """(?=[ ])|(?<=[^A-Za-z0-9])(?=[A-Za-z0-9])|(?<=[A-Za-z0-9])(?=[^A-Za-z0-9 ])"""),
-      s => length(trim(s)) > 0)).cast("long")
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0))).cast("long")
 
   /** Punctuation character ratio. */
   def punctRatio(text: Column): Column =
