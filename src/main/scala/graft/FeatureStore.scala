@@ -21,12 +21,18 @@ final class FeatureStore(spark: SparkSession, views: Map[String, FeatureView]) {
     *   string (the default) infers it from the schema the way the reference
     *   does (file.py:62-75): the column literally named `event_timestamp`
     *   if present, else the unique timestamp-typed column.
+    * @param saltBuckets with > 1 plus `autoDetectHotKeys`, entity keys whose
+    *   sampled share exceeds ~1% are salted across this many sub-buckets in
+    *   the as-of window (hot-key mitigation; correctness unchanged — see
+    *   AsOfJoin.windowed). Detection is one O(sample) aggregate per view.
     */
   def getHistoricalFeatures(
       entityDf: DataFrame,
       featureRefs: Seq[String],
       entityTsColumn: String = "",
-      fullFeatureNames: Boolean = false): DataFrame = {
+      fullFeatureNames: Boolean = false,
+      saltBuckets: Int = 1,
+      autoDetectHotKeys: Boolean = false): DataFrame = {
     val tsCol =
       if (entityTsColumn.nonEmpty) entityTsColumn
       else Inference.eventTimestampColumn(entityDf.schema)
@@ -55,7 +61,13 @@ final class FeatureStore(spark: SparkSession, views: Map[String, FeatureView]) {
         createdTs = view.source.createdTimestampColumn,
         ttlSeconds = view.ttlSeconds,
         features = feats)
-      val joined = joinView(acc, projected, spec, feats)
+      val hot: Seq[Any] =
+        if (saltBuckets > 1 && autoDetectHotKeys)
+          graft.exec.Skew.detectHotKeys(entityDf, keys.head)
+        else Nil
+      val joined = joinView(acc, projected, spec, feats,
+        if (hot.nonEmpty || (saltBuckets > 1 && !autoDetectHotKeys)) saltBuckets else 1,
+        hot)
       feats.foldLeft(joined) { (d, f) =>
         d.withColumnRenamed(f, FeatureRefs.outputName(view.name, f, fullFeatureNames))
       }
@@ -100,18 +112,21 @@ final class FeatureStore(spark: SparkSession, views: Map[String, FeatureView]) {
       acc: DataFrame,
       projected: DataFrame,
       spec: AsOfSpec,
-      feats: Seq[String]): DataFrame = {
+      feats: Seq[String],
+      saltBuckets: Int = 1,
+      hotKeys: Seq[Any] = Nil): DataFrame = {
     val wide = projected.schema.fields.exists(f =>
       feats.contains(f.name) && (f.dataType match {
         case _: ArrayType | _: BinaryType | _: MapType | _: StructType => true
         case _ => false
       }))
-    if (!wide) AsOfJoin.windowed(acc, projected, spec)
+    if (!wide) AsOfJoin.windowed(acc, projected, spec, saltBuckets, hotKeys)
     else {
       val rowId = "__graft_rowid"
       val withId = projected.withColumn(
         rowId, xxhash64(projected.columns.map(col).toSeq: _*))
-      AsOfJoin.windowedLate(acc, withId, spec, rowId = rowId).drop(rowId)
+      AsOfJoin.windowedLate(acc, withId, spec, rowId = rowId,
+        saltBuckets = saltBuckets, hotKeys = hotKeys).drop(rowId)
     }
   }
 

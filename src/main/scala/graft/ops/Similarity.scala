@@ -100,6 +100,50 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"), col("__rn").as("rank"))
   }
 
+  /** Deterministic Lloyd's k-means for IVF coarse quantizers: seeds from
+    * the k lowest-id vectors, then `iters` rounds of (assign via the same
+    * literal-centroid projection ivfTopK uses → per-cell mean). Each round
+    * is ONE map-side-combinable aggregation over the corpus — no windows,
+    * no ×k expansion — and the driver holds only k vectors between rounds.
+    * Deterministic end to end (no RNG; mean is computed with zip_with over
+    * fixed dimension order), so trained centroids are reproducible across
+    * runs and cluster sizes. Empty cells keep their previous centroid.
+    */
+  def trainCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int): Seq[Array[Float]] = {
+    var cents: Seq[Array[Float]] = corpus.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(k).collect()
+      .map(_.getSeq[Float](1).toArray).toSeq
+    for (_ <- 0 until iters) {
+      // struct-free argmax (ties → smallest cid): first index whose cosine
+      // equals the greatest — avoids struct-field resolution inside nested
+      // higher-order lambdas
+      val sims = cents.map(cvec => cosine(col(vecCol), typedLit(cvec.toSeq)))
+      val top = if (sims.size == 1) sims.head else greatest(sims: _*)
+      val best = sims.zipWithIndex.foldRight(lit(-1)) { case ((s, i), acc) =>
+        when(s === top, lit(i)).otherwise(acc)
+      }
+      // per-dimension mean via posexplode: rows stay (cid, dim, x) narrow,
+      // partials combine map-side; the re-assembled vector per cell is
+      // bounded by the embedding dimension
+      val means = corpus
+        .select(best.as("__cid"), posexplode(col(vecCol)))
+        .groupBy(col("__cid"), col("pos"))
+        .agg(avg(col("col")).as("__m"))
+        .groupBy(col("__cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("__m")))),
+          s => s.getField("__m").cast("float")).as("__mean"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
+    }
+    cents
+  }
+
   /** IVF (inverted-file / coarse-quantizer) approximate top-k: the corpus is
     * partitioned into `nCentroids` cells by nearest centroid; each query
     * probes only its `nProbe` nearest cells. Centroid "training" is
@@ -124,12 +168,19 @@ object Similarity {
       vecCol: String,
       k: Int,
       nCentroids: Int,
-      nProbe: Int): DataFrame = {
+      nProbe: Int,
+      trainIters: Int = 0): DataFrame = {
     // planning-time collect of nCentroids rows — same class of driver-side
-    // scalar as Skew.detectHotKeys / Materialize.timestampBounds
-    val cents = corpus.select(col(idCol), col(vecCol))
-      .orderBy(col(idCol)).limit(nCentroids).collect()
-      .map(r => (r.get(0), r.getSeq[Float](1)))
+    // scalar as Skew.detectHotKeys / Materialize.timestampBounds. With
+    // trainIters > 0 the quantizer is Lloyd-refined ([[trainCentroids]]);
+    // either way centroids are deterministic.
+    val cents: Seq[(Any, Seq[Float])] =
+      if (trainIters > 0)
+        trainCentroids(corpus, idCol, vecCol, nCentroids, trainIters)
+          .zipWithIndex.map { case (v, i) => (i: Any, v.toSeq) }
+      else corpus.select(col(idCol), col(vecCol))
+        .orderBy(col(idCol)).limit(nCentroids).collect()
+        .map(r => (r.get(0), r.getSeq[Float](1))).toSeq
 
     // (sim, cid) structs sorted best-first: sim desc, ties by cid asc —
     // the same order the round-1 window used

@@ -115,6 +115,38 @@ class FeatureStoreSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), "expected broadcast-semi late fetch in plan")
   }
 
+  test("facade salting (auto hot-key detection) preserves results exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fs_salt").toString
+    // one scorching key (0) with dense history + long tail
+    val rows = (0 until 3000).map { i =>
+      val k = if (i % 2 == 0) 0L else (i % 50).toLong
+      (k, t(i % 500L), t(i % 500L), i.toDouble)
+    }
+    rows.toDF("driver_id", "event_timestamp", "created", "rate")
+      .write.parquet(s"$dir/src.parquet")
+    val view = FeatureView("v",
+      Seq(Entity("driver", ValueType.INT64, Some("driver_id"))),
+      Seq(Feature("rate", ValueType.DOUBLE)),
+      BatchSource(s"$dir/src.parquet", "event_timestamp", Some("created")),
+      ttlSeconds = Some(7200L))
+    val store = new FeatureStore(spark, Map("v" -> view))
+    val entity = (0 until 400).map { i =>
+      (i.toLong, if (i % 3 == 0) 0L else (i % 50).toLong, t(100 + i % 300L))
+    }.toDF("order_id", "driver_id", "event_timestamp")
+    // sampleFraction in Skew defaults to 1% of 400 rows — detection needs the
+    // full frame at this size, so verify with explicit saltBuckets (all keys
+    // salted) AND the auto path; both must equal the unsalted plan
+    val plain = store.getHistoricalFeatures(entity, Seq("v:rate"))
+      .collect().map(r => r.getLong(0) -> r.get(r.fieldIndex("rate"))).toMap
+    val salted = store.getHistoricalFeatures(entity, Seq("v:rate"), saltBuckets = 4)
+      .collect().map(r => r.getLong(0) -> r.get(r.fieldIndex("rate"))).toMap
+    assert(salted == plain)
+    val auto = store.getHistoricalFeatures(entity, Seq("v:rate"),
+      saltBuckets = 4, autoDetectHotKeys = true)
+      .collect().map(r => r.getLong(0) -> r.get(r.fieldIndex("rate"))).toMap
+    assert(auto == plain)
+  }
+
   test("entity timestamp column is inferred when not named (reference inference)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fs_infer").toString
     Seq((1L, t(10), t(10), 0.5))

@@ -183,6 +183,36 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("trainCentroids: deterministic Lloyd refinement recovers planted cluster means") {
+    import spark.implicits._
+    // two well-separated planted clusters in 8-d
+    val rnd = new scala.util.Random(3)
+    val centers = Seq(Array.fill(8)(5.0f), Array.fill(8)(-5.0f))
+    val pts = (0L until 60L).map { i =>
+      val c = centers((i % 2).toInt)
+      (i, c.map(x => x + rnd.nextGaussian().toFloat * 0.1f))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val t1 = Similarity.trainCentroids(df, "vec_id", "embedding", k = 2, iters = 3)
+    val t2 = Similarity.trainCentroids(df, "vec_id", "embedding", k = 2, iters = 3)
+    // deterministic across runs
+    assert(t1.zip(t2).forall { case (a, b) => a.sameElements(b) })
+    // each trained centroid points at one planted cluster (cosine ≈ 1)
+    def cos(a: Array[Float], b: Array[Float]) = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val matched = centers.map(c => t1.map(t => cos(t, c)).max)
+    assert(matched.forall(_ > 0.999), s"centroids $matched")
+    // refined quantizer keeps the identical-copy guarantee of the IVF probe
+    val copies = pts.take(5).map { case (i, v) => (i + 100L, v) }
+    val df2 = (pts ++ copies).toDF("vec_id", "embedding")
+    val one = Similarity.ivfTopK(df2, df2.where(col("vec_id") < 5), "vec_id", "embedding",
+        k = 1, nCentroids = 2, nProbe = 1, trainIters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (q <- 0L until 5L) assert(one(q) == q + 100L)
+  }
+
   test("ivfTopK recall@5 vs brute force is bounded below (nProbe=2 of 8 cells)") {
     val df = vecs.toDF("vec_id", "embedding")
     val queries = df.where(col("vec_id") < 8)
