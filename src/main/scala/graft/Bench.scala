@@ -31,7 +31,8 @@ object Bench {
       only match {
         case Some(prefixes) =>
           prefixes.flatMap(p => SparkEntry.queries.toSeq.filter(_._1.startsWith(p)).sortBy(_._1))
-        case None => SparkEntry.queries.toSeq
+        case None => SparkEntry.queries.toSeq.sortBy(_._1) // deterministic
+        // order across rounds: q01 (cheap) absorbs JVM warmup every time
       }
 
     // failures are RECORDED, not swallowed — a broken query must not show

@@ -126,7 +126,13 @@ object Dedup {
       maxDf: Option[Long] = None): DataFrame = {
     val sh = wordShingles(df, idCol, textCol, n).cache()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
-    val dfreq = maxDf.map(_ => sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df")))
+    // document frequency is bounded by the doc count, so when the corpus is
+    // smaller than the cap the probe is decided by a metadata-cheap count()
+    // and the dfreq aggregation never runs
+    val capPossible = maxDf.exists(cap => df.count() > cap)
+    val dfreq =
+      if (capPossible) Some(sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df")))
+      else None
     val capExceeded = (maxDf, dfreq) match {
       case (Some(cap), Some(freq)) =>
         val row = freq.agg(max(col("__df"))).head()

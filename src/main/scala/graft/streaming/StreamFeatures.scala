@@ -1,7 +1,27 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Wire rows of the streaming as-of enrichment: one unioned stream of
+  * feature updates (`is_feature = true`, carrying `value`/`created`) and
+  * probe rows (`is_feature = false`) per entity key. Top-level case classes
+  * (Encoder requirement).
+  */
+final case class AsOfEvent(
+    key: String,
+    ts: java.sql.Timestamp,
+    is_feature: Boolean,
+    created: Long,
+    value: Double)
+
+final case class AsOfStateRow(ts: Long, created: Long, value: Double)
+
+final case class AsOfEnriched(
+    key: String,
+    probe_ts: java.sql.Timestamp,
+    value: Option[Double])
 
 /** Structured Streaming counterparts of the batch feature ops. The reference
   * only *declares* stream sources (feast data_source.py:783-914 — Kafka and
@@ -97,6 +117,52 @@ object StreamFeatures {
         unix_timestamp(col("session_window.start")).as("session_start"),
         unix_timestamp(col("session_window.end")).as("session_end"),
         col("n_events"), col("sum_value"))
+
+  /** Streaming point-in-time enrichment with explicit keyed state — the
+    * Structured Streaming counterpart of [[graft.pit.AsOfJoin.windowed]],
+    * built on `flatMapGroupsWithState` (the custom-state tool of SURVEY
+    * §2.9): per entity key, typed state holds the latest feature row seen
+    * (max (event ts, created)); each probe row emits that feature's value
+    * when it is at-or-before the probe timestamp and within `ttlSeconds`,
+    * else None (the reference's null-fill).
+    *
+    * Within a micro-batch, rows are processed in (ts, feature-before-probe,
+    * created) order, so equal-timestamp semantics match the batch join
+    * exactly (inclusive `<=`, created-ts tie-break). ACROSS batches the
+    * semantics are at-arrival: a feature that arrives in a later batch than
+    * a probe it should have served cannot rewrite the already-emitted row —
+    * the inherent streaming trade; the batch join remains the offline
+    * truth, and feeding the same rows in one batch reproduces it exactly
+    * (proven in StreamFeaturesSpec). State is O(1) per key (one feature
+    * row), so no watermark-bounded state growth.
+    */
+  def asOfEnrich(
+      events: Dataset[AsOfEvent],
+      ttlSeconds: Long): Dataset[AsOfEnriched] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[AsOfEvent], state: GroupState[AsOfStateRow]) =>
+          val sorted = rows.toSeq.sortBy(e =>
+            (e.ts.getTime, if (e.is_feature) 0 else 1, e.created))
+          var cur = state.getOption
+          val out = Seq.newBuilder[AsOfEnriched]
+          sorted.foreach { e =>
+            if (e.is_feature) {
+              if (cur.forall(c => e.ts.getTime > c.ts ||
+                  (e.ts.getTime == c.ts && e.created >= c.created)))
+                cur = Some(AsOfStateRow(e.ts.getTime, e.created, e.value))
+            } else {
+              val hit = cur.filter(c =>
+                c.ts <= e.ts.getTime && c.ts >= e.ts.getTime - ttlSeconds * 1000L)
+              out += AsOfEnriched(key, e.ts, hit.map(_.value))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
 
   /** Streaming latest-per-key materialization into an idempotent sink:
     * foreachBatch + batch latest-per-key, the streaming analogue of the

@@ -111,6 +111,47 @@ class StreamFeaturesSpec extends SparkSpec {
     }
   }
 
+  test("flatMapGroupsWithState as-of enrichment equals the batch as-of join") {
+    import spark.implicits._
+    import graft.pit.{AsOfJoin, AsOfSpec}
+    val base = tsOf("2024-01-01T00:00:00Z").getTime
+    val rnd = new scala.util.Random(5)
+    // feature updates and probes over 6 keys, with duplicate-ts features
+    // (created tie-break) and probes before/inside/outside the ttl window
+    val feats = for (k <- 0 until 6; i <- 0 until 30) yield AsOfEvent(
+      s"k$k", new Timestamp(base + rnd.nextInt(7200) * 1000L),
+      is_feature = true, created = rnd.nextInt(100).toLong, value = rnd.nextDouble())
+    val probes = for (k <- 0 until 6; i <- 0 until 40) yield AsOfEvent(
+      s"k$k", new Timestamp(base - 600_000L + rnd.nextInt(10800) * 1000L),
+      is_feature = false, created = 0L, value = 0.0)
+    val ttl = 1800L
+
+    val mem = MemoryStream[AsOfEvent](spark)
+    mem.addData(feats ++ probes: _*)
+    val q = StreamFeatures.asOfEnrich(mem.toDS(), ttl)
+      .writeStream.format("memory").queryName("t_asof_enrich")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("t_asof_enrich")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+
+    // batch oracle: the windowed as-of join on the same rows; probe rows
+    // need unique ids only for the comparison key
+    val entity = probes.zipWithIndex
+      .map { case (p, i) => (i.toLong, p.key, p.ts) }.toDF("pid", "key", "ts")
+    val feature = feats.map(f => (f.key, f.ts, f.created, f.value))
+      .toDF("key", "fts", "created", "value")
+    val batch = AsOfJoin.windowed(entity, feature,
+      AsOfSpec(Seq("key"), "ts", "fts", Some("created"), Some(ttl), Seq("value")))
+      .collect().map(r => (r.getString(1), r.getTimestamp(2).getTime) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+
+    assert(streamed.size == batch.size)
+    assert(streamed == batch)
+  }
+
   test("streaming latest-per-key foreachBatch sink materializes the maximum ts per key") {
     import spark.implicits._
     val mem = MemoryStream[Ev](spark)
