@@ -113,6 +113,16 @@ class FeatureStoreSpec extends SparkSpec {
     val plan = store.getHistoricalFeatures(entity, Seq("seqs:toks"))
       .queryExecution.executedPlan.toString
     assert(plan.contains("LeftSemi"), "expected broadcast-semi late fetch in plan")
+
+    // wide routing composes with salting: identical results
+    val salted = store.getHistoricalFeatures(entity, Seq("seqs:toks", "seqs:rate"),
+      saltBuckets = 4)
+      .collect().map { r =>
+        val toks = if (r.isNullAt(r.fieldIndex("toks"))) Nil
+          else r.getSeq[Int](r.fieldIndex("toks")).toList
+        r.getLong(r.fieldIndex("order_id")) -> toks
+      }.toMap
+    assert(salted == out)
   }
 
   test("facade salting (auto hot-key detection) preserves results exactly") {
