@@ -41,7 +41,22 @@ final class FeatureStore(spark: SparkSession, views: Map[String, FeatureView]) {
     val grouped = FeatureRefs.group(FeatureRefs.parse(featureRefs), views, fullFeatureNames)
     val bounds = Materialize.timestampBounds(entityDf, tsCol)
 
-    grouped.toSeq.sortBy(_._1.name).foldLeft(entityDf) { case (acc, (view, feats)) =>
+    // Fold order: narrow views first, wide (array/binary/...) views LAST —
+    // each view's as-of window carries the accumulated frame as payload, so
+    // a wide feature joined early would ride through every later view's
+    // exchange+sort. Views are independent (each joins on the original
+    // entity keys/ts only), so reordering never changes values; the driver
+    // gate hashes columns sorted by name, so output order is immaterial.
+    val ordered = grouped.toSeq.sortBy { case (view, feats) =>
+      val wide = view.features.exists(f =>
+        feats.contains(f.name) && (f.valueType match {
+          case _: ValueType.ListOf => true
+          case ValueType.BYTES => true
+          case _ => false
+        }))
+      (wide, view.name)
+    }
+    ordered.foldLeft(entityDf) { case (acc, (view, feats)) =>
       val keys = view.joinKeys
       keys.foreach(k => require(acc.columns.contains(k),
         s"entity frame is missing join key '$k' for view '${view.name}'"))

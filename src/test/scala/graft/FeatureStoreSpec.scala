@@ -125,6 +125,34 @@ class FeatureStoreSpec extends SparkSpec {
     assert(salted == out)
   }
 
+  test("multi-view fold puts wide views last; mixed retrieval stays correct") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fs_mix").toString
+    Seq((1L, t(10), t(10), Seq(1, 2, 3))) // "aaa" sorts FIRST by name but is wide
+      .toDF("driver_id", "event_timestamp", "created", "toks")
+      .write.parquet(s"$dir/wide.parquet")
+    Seq((1L, t(12), t(12), 0.5))
+      .toDF("driver_id", "event_timestamp", "created", "rate")
+      .write.parquet(s"$dir/narrow.parquet")
+    val store = new FeatureStore(spark, Map(
+      "aaa_wide" -> FeatureView("aaa_wide",
+        Seq(Entity("driver", ValueType.INT64, Some("driver_id"))),
+        Seq(Feature("toks", ValueType.ListOf(ValueType.INT32))),
+        BatchSource(s"$dir/wide.parquet", "event_timestamp", Some("created"))),
+      "zzz_narrow" -> FeatureView("zzz_narrow",
+        Seq(Entity("driver", ValueType.INT64, Some("driver_id"))),
+        Seq(Feature("rate", ValueType.DOUBLE)),
+        BatchSource(s"$dir/narrow.parquet", "event_timestamp", Some("created")))))
+    val entity = Seq((100L, 1L, t(25))).toDF("order_id", "driver_id", "event_timestamp")
+    val out = store.getHistoricalFeatures(
+      entity, Seq("aaa_wide:toks", "zzz_narrow:rate")).collect().head
+    assert(out.getSeq[Int](out.fieldIndex("toks")).toList == List(1, 2, 3))
+    assert(out.getDouble(out.fieldIndex("rate")) == 0.5)
+    // narrow view's column lands BEFORE the wide view's (fold order proof)
+    val cols = store.getHistoricalFeatures(
+      entity, Seq("aaa_wide:toks", "zzz_narrow:rate")).columns.toSeq
+    assert(cols.indexOf("rate") < cols.indexOf("toks"))
+  }
+
   test("facade salting (auto hot-key detection) preserves results exactly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fs_salt").toString
     // one scorching key (0) with dense history + long tail
