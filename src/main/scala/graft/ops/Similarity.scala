@@ -18,11 +18,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** cosine(a, b) with double accumulation, index order (reproducible). */
+  /** cosine(a, b) with double accumulation, index order (reproducible).
+    * The dot kernel is the native codegen [[graft.functions.DotProduct]]
+    * expression — same FP order as the zip_with/aggregate formulation it
+    * replaced, so results are bit-identical, without the intermediate array
+    * or per-element lambda dispatch.
+    */
   def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
-        lit(0.0), (acc, z) => acc + z)
+    def dot(x: Column, y: Column) = graft.functions.VectorOps.dot_f(x, y)
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 

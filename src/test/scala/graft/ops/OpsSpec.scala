@@ -183,6 +183,21 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("native dot_f equals the zip_with/aggregate dot bit-for-bit") {
+    import graft.functions.VectorOps
+    val df = vecs.toDF("vec_id", "embedding")
+    val pairs = df.as("x").join(df.as("y"), col("x.vec_id") < col("y.vec_id"))
+    def hoDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (u, v) => u.cast("double") * v.cast("double")),
+        lit(0.0), (acc, z) => acc + z)
+    val out = pairs.select(
+      VectorOps.dot_f(col("x.embedding"), col("y.embedding")).as("native"),
+      hoDot(col("x.embedding"), col("y.embedding")).as("ho"))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // exact, not approx
+  }
+
   test("trainCentroids: deterministic Lloyd refinement recovers planted cluster means") {
     import spark.implicits._
     // two well-separated planted clusters in 8-d
