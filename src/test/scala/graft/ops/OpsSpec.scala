@@ -183,6 +183,16 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("GraftExtensions registers the native expressions as SQL functions") {
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT rolling_hash('abc') AS h, " +
+        "dot_f(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "      array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").head()
+    assert(r.getLong(0) == graft.functions.RollingHash.hash("abc"))
+    assert(r.getDouble(1) == 11.0)
+  }
+
   test("native dot_f equals the zip_with/aggregate dot bit-for-bit") {
     import graft.functions.VectorOps
     val df = vecs.toDF("vec_id", "embedding")
