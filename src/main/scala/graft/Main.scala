@@ -62,7 +62,7 @@ object Main {
       else views.foreach { v =>
         println(s"${v.name}  entities=${v.joinKeys.mkString(",")}  " +
           s"features=${v.features.map(_.name).mkString(",")}  " +
-          s"ttl=${v.ttlSeconds.map(_ + "s").getOrElse("none")}")
+          s"ttl=${v.ttlSeconds.map(t => s"${t}s").getOrElse("none")}")
       }
 
     case "materialize" :: registryPath :: viewName :: start :: end :: table :: checkpoint :: Nil =>
