@@ -6,9 +6,11 @@ import org.apache.spark.sql.functions._
 
 /** Token-sequence operators for large-scale training-data assembly, over the
   * engine's native payload shape (`tokens: array<int>`). All declarative
-  * column/window plans — one shuffle each, no UDFs, token arrays never
-  * sorted by a window (they ride only through the final grouped
-  * aggregation).
+  * column/window plans — no UDFs. Token arrays always travel through the
+  * final grouped aggregation; `packGreedy(lateFetch = true)` additionally
+  * keeps them out of the cumsum window's sort for multi-KB payloads (an
+  * extra narrow shuffle buys a narrow sort — measured worthwhile only
+  * beyond ~KB row widths, see BENCH/PACK.md).
   */
 object Tokens {
 
