@@ -471,6 +471,20 @@ object SparkEntry {
     derivedTokens(spark, dir).select(col("doc_id"),
       arrayDigest(Tokens.truncatePad(col("tokens"), 48, 0)).as("padded_str"))
 
+  /** Benchmark decontamination: docs whose trigram sets contain >= 50% of
+    * any "eval set" doc (here: doc_id < 20 as the pretend benchmark).
+    */
+  private def q44Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    Dedup.containment(docs, docs.where(col("doc_id") < 20), "doc_id", "text",
+      n = 3, threshold = 0.5)
+  }
+
+  /** Intra-document n-gram repetition ratio (Gopher-style quality filter). */
+  private def q45Repetition(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"), TextStats.repetitionRatio(col("text"), 3).as("rep_ratio"))
+
   // -- rows-only operators (no exact SQL oracle) -------------------------
 
   /** Embedding-cosine near-duplicate pairs via sign-LSH buckets. */
@@ -564,7 +578,9 @@ object SparkEntry {
     "q40_jaccard_prefix" -> (q40JaccardPrefix _),
     "q41_fs_tokens" -> (q41FeatureStoreTokens _),
     "q42_online_multi" -> (q42OnlineMulti _),
-    "q43_truncate_pad" -> (q43TruncatePad _))
+    "q43_truncate_pad" -> (q43TruncatePad _),
+    "q44_decontaminate" -> (q44Decontaminate _),
+    "q45_repetition" -> (q45Repetition _))
 
   /** DuckDB oracles. Keys absent here (q22/q23/q24/q26/q32/q39) are ops
     * whose exact output depends on xxhash64-derived signatures or binary
@@ -887,6 +903,26 @@ object SparkEntry {
         |  list_concat(t[1:48],
         |    list_transform(range(1, 48 - least(len(t), 48) + 1), x -> 0)), ',') AS padded_str
         |FROM toks""".stripMargin,
+    "q44_decontaminate" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |       FROM words, UNNEST(range(1, len(w) - 1)) t(i)),
+        |b AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id < 20),
+        |bn AS (SELECT bench_id, count(*) AS n FROM b GROUP BY 1),
+        |ix AS (SELECT sh.doc_id, b.bench_id, count(*) AS c
+        |       FROM sh JOIN b USING (s) GROUP BY 1, 2)
+        |SELECT ix.doc_id, ix.bench_id, round(c / CAST(n AS DOUBLE), 6) AS containment
+        |FROM ix JOIN bn USING (bench_id)
+        |WHERE round(c / CAST(n AS DOUBLE), 6) >= 0.5""".stripMargin,
+    "q45_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, len(ws) AS nw,
+        |  list_transform(range(1, len(ws) - 1),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS gs FROM w)
+        |SELECT doc_id, CASE WHEN nw < 3 THEN 0.0
+        |  ELSE round((len(gs) - len(list_distinct(gs))) / CAST(len(gs) AS DOUBLE), 6)
+        |  END AS rep_ratio
+        |FROM g""".stripMargin,
     "q38_token_ngrams" ->
       """WITH toks AS (SELECT list_transform(range(1, CAST(least(n_chars, 64) AS INT) + 1),
         |    i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS INT)) AS t

@@ -198,6 +198,39 @@ object Dedup {
     verifyJaccard(cand, sh, idCol, threshold)
   }
 
+  /** Benchmark decontamination (train/eval overlap removal — the C4/GPT
+    * pipeline step): report (corpus doc, benchmark doc) pairs whose n-gram
+    * CONTAINMENT of the benchmark doc meets the threshold,
+    * `C(bench, doc) = |S(bench) ∩ S(doc)| / |S(bench)|` — containment, not
+    * Jaccard, because a short eval question embedded in a long training
+    * document must still trip the filter.
+    *
+    * Plan: inverted-index join of corpus shingles against BENCHMARK
+    * shingles — the benchmark side is small (an eval set), so the join
+    * broadcasts and the corpus never shuffles; candidate rows are bounded
+    * by Σ over benchmark shingles of their corpus document frequency.
+    */
+  def containment(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double): DataFrame = {
+    val corpusSh = wordShingles(corpus, idCol, textCol, n)
+      .select(col(idCol).as("doc_id_"), col("shingle"))
+    val benchSh = wordShingles(benchmark, idCol, textCol, n)
+      .select(col(idCol).as("bench_id"), col("shingle"))
+    val benchSizes = benchSh.groupBy(col("bench_id")).agg(count(lit(1)).as("__bn"))
+    corpusSh.join(benchSh, "shingle")
+      .groupBy(col("doc_id_"), col("bench_id"))
+      .agg(count(lit(1)).as("__ix"))
+      .join(benchSizes, "bench_id")
+      .withColumn("containment", round(col("__ix").cast("double") / col("__bn"), 6))
+      .where(col("containment") >= threshold)
+      .select(col("doc_id_").as("doc_id"), col("bench_id"), col("containment"))
+  }
+
   /** MinHash signatures: k independent permutations simulated as
     * min(xxhash64(shingle, seed_i)) per doc. One groupBy, k codegen'd aggs.
     */

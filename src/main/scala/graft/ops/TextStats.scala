@@ -92,6 +92,20 @@ object TextStats {
     when(top.getField("s") > 0, top.getField("l")).otherwise(lit("und"))
   }
 
+  /** Intra-document repetition: fraction of word n-grams that are repeats
+    * of an earlier n-gram in the same document — the Gopher-family
+    * repetition quality filter. Pure column expression (n-gram hashes +
+    * array_distinct); docs shorter than n grams score 0.
+    */
+  def repetitionRatio(text: Column, n: Int): Column = {
+    val words = split(text, "\\s+")
+    val grams = transform(
+      sequence(lit(0), size(words) - n),
+      i => xxhash64((0 until n).map(k => element_at(words, i + k + 1)): _*))
+    when(size(words) < n, lit(0.0)).otherwise(
+      round((size(grams) - size(array_distinct(grams))).cast("double") / size(grams), 6))
+  }
+
   /** 61-bit rolling-hash document fingerprint (custom codegen Expression). */
   def fingerprint(text: Column): Column = RollingHash.rolling_hash(text)
 

@@ -92,6 +92,42 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(got((100L, 101L)) - naiveJaccard(texts(100L), texts(101L), 3)) < 1e-5)
   }
 
+  test("containment decontamination matches a naive set-containment oracle") {
+    // doc 50 fully embeds doc 1's text (classic eval-leak shape)
+    val corpus = docs.union(Seq(
+      (50L, "prefix words here then the quick brown fox jumps over the lazy dog near the river bank today and a long suffix tail"),
+      (51L, "entirely unrelated long document with many distinct words and no overlap at all present"))
+      .toDF("doc_id", "text"))
+    val bench = docs.where(col("doc_id") === 1L)
+    val got = Dedup.containment(corpus, bench, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def sh(s: String) = s.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+    val texts = corpus.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val benchSet = sh(texts(1L))
+    val expected = texts.collect {
+      case (id, t) if sh(t).intersect(benchSet).size.toDouble / benchSet.size >= 0.5 =>
+        (id, 1L) -> math.round(
+          sh(t).intersect(benchSet).size.toDouble / benchSet.size * 1e6) / 1e6
+    }.toMap
+    assert(got == expected)
+    assert(got.contains((50L, 1L))) // the embedded copy is caught
+    assert(!got.contains((51L, 1L)))
+  }
+
+  test("repetitionRatio: fraction of repeated n-grams, 0 for short docs") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c a b c a b c"), // 7 trigrams: distinct {abc,bca,cab} → 4/7 repeats
+      (2L, "all words unique in this one sentence"),
+      (3L, "a b")) // shorter than n
+      .toDF("doc_id", "text")
+    val out = d.select(col("doc_id"), TextStats.repetitionRatio(col("text"), 3).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == math.round(4.0 / 7 * 1e6) / 1e6)
+    assert(out(2L) == 0.0)
+    assert(out(3L) == 0.0)
+  }
+
   test("minhashLsh: exact duplicates always collide; scores are exact Jaccard") {
     val got = Dedup.minhashLsh(docs, "doc_id", "text",
       shingleN = 3, numHashes = 32, bands = 16, threshold = 0.3)
