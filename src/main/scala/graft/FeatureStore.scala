@@ -47,6 +47,13 @@ final class FeatureStore(spark: SparkSession, views: Map[String, FeatureView]) {
     // exchange+sort. Views are independent (each joins on the original
     // entity keys/ts only), so reordering never changes values; the driver
     // gate hashes columns sorted by name, so output order is immaterial.
+    // Known edge: with TWO OR MORE wide views, the first one's payload still
+    // rides the later wide views' windows — stitching each wide view against
+    // the raw entity frame instead would need a unique entity row id, which
+    // cannot be synthesized safely for frames with legal duplicate rows
+    // (hashing collapses them; monotonic ids are nondeterministic across
+    // plan re-evaluation). Callers with several wide views and a natural
+    // entity key should retrieve per view and join on that key themselves.
     val ordered = grouped.toSeq.sortBy { case (view, feats) =>
       val wide = view.features.exists(f =>
         feats.contains(f.name) && (f.valueType match {
