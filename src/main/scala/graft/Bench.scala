@@ -24,16 +24,33 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // SPARK_GRAFT_ONLY=q13,q14,q40 — iterate on a subset (skips the
-    // headline), run IN THE GIVEN ORDER so a cheap leading query can absorb
-    // JVM warmup and the rest compare warm-vs-warm
+    // headline), run IN THE GIVEN ORDER; overlapping prefixes are
+    // deduplicated by query name (first mention wins) so no query is timed
+    // twice or emitted as a duplicate JSON key
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSeq)
     val selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
       only match {
         case Some(prefixes) =>
           prefixes.flatMap(p => SparkEntry.queries.toSeq.filter(_._1.startsWith(p)).sortBy(_._1))
-        case None => SparkEntry.queries.toSeq.sortBy(_._1) // deterministic
-        // order across rounds: q01 (cheap) absorbs JVM warmup every time
+            .distinctBy(_._1)
+        case None => SparkEntry.queries.toSeq.sortBy(_._1) // deterministic order
       }
+
+    // Dedicated UNREPORTED warmup (bench protocol, see README): exercise the
+    // parquet scan → shuffle → window/join codegen machinery once so q01's
+    // reported time is warm work, not JIT + classloading. Round 2 instead let
+    // q01 "absorb warmup", which made the flagship PIT number unreadable
+    // round-over-round (6.2 s vs 0.33 s) — the warmup must not be a reported
+    // query's timing.
+    {
+      import org.apache.spark.sql.functions.{col, row_number}
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      ev.withColumn("__rn", row_number().over(w))
+        .join(ev.select(col("event_id")), Seq("event_id"))
+        .groupBy(col("event_type")).count().count()
+    }
 
     // failures are RECORDED, not swallowed — a broken query must not show
     // up as a normal-looking timing in BENCH_r{N}.json

@@ -128,7 +128,15 @@ final class FeatureStore(spark: SparkSession, views: Map[String, FeatureView]) {
     * projected row: stable across the plan's two computations of the
     * feature frame, unique up to 64-bit collisions (~n²/2⁶⁵ — a collision
     * could duplicate one entity row with an identical-hash payload; at that
-    * probability this is the standard engineering trade).
+    * probability this is the standard engineering trade). Rows that are
+    * IDENTICAL after projection hash equal by construction, so the frame is
+    * deduplicated on the row id before the join — collapsing them is
+    * semantics-preserving (the as-of pick among identical rows is identical)
+    * and keeps the final fetch join at exactly one row per entity row.
+    * Map-typed columns are serialized with `to_json` before hashing (Spark
+    * rejects hash expressions over maps because map equality is
+    * order-insensitive; `to_json` of our projected rows is deterministic for
+    * a given row value, which is all row-identity needs).
     */
   private def joinView(
       acc: DataFrame,
@@ -144,9 +152,18 @@ final class FeatureStore(spark: SparkSession, views: Map[String, FeatureView]) {
       }))
     if (!wide) AsOfJoin.windowed(acc, projected, spec, saltBuckets, hotKeys)
     else {
+      def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+        case _: MapType => true
+        case ArrayType(et, _) => containsMap(et)
+        case st: StructType => st.fields.exists(f => containsMap(f.dataType))
+        case _ => false
+      }
       val rowId = "__graft_rowid"
-      val withId = projected.withColumn(
-        rowId, xxhash64(projected.columns.map(col).toSeq: _*))
+      val hashInputs = projected.schema.fields.toSeq.map(f =>
+        if (containsMap(f.dataType)) to_json(col(f.name)) else col(f.name))
+      val withId = projected
+        .withColumn(rowId, xxhash64(hashInputs: _*))
+        .dropDuplicates(rowId)
       AsOfJoin.windowedLate(acc, withId, spec, rowId = rowId,
         saltBuckets = saltBuckets, hotKeys = hotKeys).drop(rowId)
     }

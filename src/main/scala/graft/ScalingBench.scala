@@ -203,10 +203,13 @@ object ScalingBench {
       expr("bit_xor(xxhash64(packed))").as("checksum"),
       sum(col("n_tok")).as("tok_sum")).head()
     val elapsed = (System.nanoTime() - t0) / 1e9
+    // empty input: bit_xor/sum aggregate to NULL — report packs=0 with null
+    // checksum instead of tripping getLong on a null cell
+    def optLong(i: Int): String = if (row.isNullAt(i)) "null" else row.getLong(i).toString
     val json =
       s"""{"cores":$cores,"sub_shards":$subShards,"elapsed_sec":$elapsed,""" +
-        s""""sequences":$nRows,"packs":${row.getLong(0)},"checksum":${row.getLong(1)},""" +
-        s""""tok_sum":${row.getLong(2)},"sequences_per_sec":${nRows / elapsed}}"""
+        s""""sequences":$nRows,"packs":${row.getLong(0)},"checksum":${optLong(1)},""" +
+        s""""tok_sum":${optLong(2)},"sequences_per_sec":${nRows / elapsed}}"""
     Files.createDirectories(Paths.get(outJson).toAbsolutePath.getParent)
     Files.write(Paths.get(outJson), json.getBytes(StandardCharsets.UTF_8))
     println(s"[pack] $json")

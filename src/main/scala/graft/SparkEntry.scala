@@ -525,12 +525,15 @@ object SparkEntry {
 
   /** Multimodal decode + featurize: real javax.imageio PNG decode for image
     * rows, stub kernel for audio/video. Gate output is scalar-only (dims +
-    * rounded feature sum) — raw feature vectors are asserted in OpsSpec.
+    * rounded feature sum); the synthetic pixels/payloads are pure modular
+    * arithmetic, so DuckDB recomputes the features EXACTLY (see oracle) —
+    * only the PNG container bytes (n_bytes/checksum, encoder-dependent) stay
+    * out of the gate, asserted in OpsSpec via decode round-trip instead.
     */
   private def q26Multimodal(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Multimodal.extractFeatures(Multimodal.syntheticAssets(spark, 200)).toDF()
-      .select(col("asset_id"), col("kind"), col("n_bytes"), col("checksum"),
+      .select(col("asset_id"), col("kind"),
         size(col("feature")).as("feat_dim"),
         round(aggregate(col("feature"), lit(0.0), (a, x) => a + x), 3).as("feat_sum"))
   }
@@ -582,13 +585,185 @@ object SparkEntry {
     "q44_decontaminate" -> (q44Decontaminate _),
     "q45_repetition" -> (q45Repetition _))
 
-  /** DuckDB oracles. Keys absent here (q22/q23/q24/q26/q32/q39) are ops
-    * whose exact output depends on xxhash64-derived signatures or binary
-    * decode that DuckDB cannot reproduce; the driver records a rows-only
-    * check for those, and their semantics are covered by ScalaTest specs
-    * against independent oracles instead.
+  // ---- generated oracles for the hash-kernel queries -----------------------
+  // Round 2 left q22/q23/q24/q26/q32/q39 rows-only because their outputs
+  // depended on xxhash64/murmur signatures DuckDB can't reproduce. Round 3
+  // re-based every signature kernel onto the engine-portable Mix61/RollingHash
+  // arithmetic (graft.functions.Mix61), so the DuckDB gate now replays the
+  // exact same integers via the macro preamble (multi-statement SQL — the
+  // gate's `con.execute(sql).df()` runs the macros, then the query).
+
+  /** Shared shingle CTEs: tokenize, 3-gram, portable rolling-hash. */
+  private val shingleCtes: String =
+    """words AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),
+      |grams AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      |          FROM words, UNNEST(range(1, len(w) - 1)) t(i)),
+      |sh AS (SELECT DISTINCT doc_id, rh61(g) AS shingle FROM grams)""".stripMargin
+
+  private def q22OracleSql: String = {
+    graft.functions.Mix61.oracleMacros +
+      s"""WITH $shingleCtes,
+        |mh AS (SELECT doc_id, i, MIN(mix61(shingle, i)) AS m
+        |       FROM (SELECT doc_id, shingle, UNNEST(range(0, 32)) AS i FROM sh)
+        |       GROUP BY doc_id, i),
+        |bnd AS (SELECT doc_id, i // 2 AS band,
+        |        mix61(mix61(0 + MIN(CASE WHEN i % 2 = 0 THEN m END), 17)
+        |              + MIN(CASE WHEN i % 2 = 1 THEN m END), 17) AS sig
+        |        FROM mh GROUP BY doc_id, i // 2),
+        |cand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+        |         FROM bnd x JOIN bnd y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |ix AS (SELECT c.id1, c.id2, count(*) AS ix FROM cand c
+        |       JOIN sh a ON a.doc_id = c.id1
+        |       JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+        |       GROUP BY 1, 2)
+        |SELECT id1, id2, round(CAST(ix AS DOUBLE) / (s1.n + s2.n - ix), 6) AS jaccard
+        |FROM ix JOIN sz s1 ON id1 = s1.doc_id JOIN sz s2 ON id2 = s2.doc_id
+        |WHERE round(CAST(ix AS DOUBLE) / (s1.n + s2.n - ix), 6) >= 0.05""".stripMargin
+  }
+
+  private def q23OracleSql: String = {
+    val nBits = graft.ops.Dedup.SimhashBits
+    val bitSums = (0 until nBits)
+      .map(b => s"SUM(CASE WHEN (m >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+      .mkString(",\n        ")
+    val fpSum = (0 until nBits)
+      .map(b => s"(CASE WHEN b$b > 0 THEN CAST(1 AS BIGINT) << $b ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    graft.functions.Mix61.oracleMacros +
+      s"""WITH $shingleCtes,
+        |mh AS (SELECT doc_id, mix61(shingle, 211) AS m FROM sh),
+        |bs AS (SELECT doc_id,
+        |        $bitSums
+        |       FROM mh GROUP BY doc_id),
+        |fp AS (SELECT doc_id, $fpSum AS f FROM bs),
+        |blk AS (SELECT doc_id, f, UNNEST(range(0, 4)) AS blk FROM fp),
+        |keyed AS (SELECT doc_id, f, blk, (f >> CAST(blk * 15 AS INT)) & 32767 AS key FROM blk),
+        |cand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2, x.f AS f1, y.f AS f2
+        |         FROM keyed x JOIN keyed y ON x.blk = y.blk AND x.key = y.key AND x.doc_id < y.doc_id)
+        |SELECT id1, id2, CAST(bit_count(xor(f1, f2)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(f1, f2)) <= 3""".stripMargin
+  }
+
+  /** Sign-LSH signature columns for the embeddings table (bits 0..n-1, the
+    * portable planeSign: mix61(dim, 101+bit) & 1 → ±1). `flat` must provide
+    * (vec_id, i, v) with 1-based i.
+    */
+  private def sigSelect(numBits: Int): String =
+    (0 until numBits).map { b =>
+      s"""(CASE WHEN SUM(CAST(v AS DOUBLE) *
+         |      (CASE WHEN (mix61(CAST(i - 1 AS BIGINT), ${101 + b})) & 1 = 1 THEN 1.0 ELSE -1.0 END)) > 0
+         |    THEN ${1L << b} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+
+  private def q24OracleSql: String =
+    graft.functions.Mix61.oracleMacros +
+      s"""WITH flat AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    UNNEST(embedding) AS v FROM embeddings),
+        |sig AS (SELECT vec_id, ${sigSelect(4)} AS s FROM flat GROUP BY vec_id),
+        |pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |          FROM sig q JOIN sig c ON q.s = c.s AND c.vec_id <> q.vec_id
+        |          WHERE q.vec_id < 32),
+        |dots AS (SELECT p.query_id, p.neighbor_id,
+        |    SUM(CAST(a.v AS DOUBLE) * b.v) AS dot,
+        |    SQRT(SUM(CAST(a.v AS DOUBLE) * a.v)) * SQRT(SUM(CAST(b.v AS DOUBLE) * b.v)) AS nrm
+        |  FROM pairs p
+        |  JOIN flat a ON a.vec_id = p.query_id
+        |  JOIN flat b ON b.vec_id = p.neighbor_id AND b.i = a.i
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT query_id, neighbor_id, dot/nrm AS cos,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot/nrm DESC, neighbor_id) AS rank
+        |  FROM dots)
+        |SELECT query_id, neighbor_id, round(cos, 4) AS cos, CAST(rank AS INT) AS rank
+        |FROM rk WHERE rank <= 5""".stripMargin
+
+  private def q32OracleSql: String =
+    graft.functions.Mix61.oracleMacros +
+      s"""WITH flat AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    UNNEST(embedding) AS v FROM embeddings),
+        |sig AS (SELECT vec_id, ${sigSelect(4)} AS s FROM flat GROUP BY vec_id),
+        |pairs AS (SELECT x.vec_id AS id1, y.vec_id AS id2
+        |          FROM sig x JOIN sig y ON x.s = y.s AND x.vec_id < y.vec_id),
+        |dots AS (SELECT p.id1, p.id2,
+        |    SUM(CAST(a.v AS DOUBLE) * b.v) AS dot,
+        |    SQRT(SUM(CAST(a.v AS DOUBLE) * a.v)) * SQRT(SUM(CAST(b.v AS DOUBLE) * b.v)) AS nrm
+        |  FROM pairs p
+        |  JOIN flat a ON a.vec_id = p.id1
+        |  JOIN flat b ON b.vec_id = p.id2 AND b.i = a.i
+        |  GROUP BY 1, 2)
+        |SELECT id1, id2, round(dot/nrm, 4) AS cos FROM dots WHERE dot/nrm >= 0.2""".stripMargin
+
+  private def q39OracleSql: String =
+    """WITH flat AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |    UNNEST(embedding) AS v FROM embeddings),
+      |cents AS (SELECT vec_id AS cid FROM embeddings ORDER BY vec_id LIMIT 8),
+      |cflat AS (SELECT c.cid, f.i, f.v FROM cents c JOIN flat f ON f.vec_id = c.cid),
+      |cc AS (SELECT f.vec_id, c.cid,
+      |    SUM(CAST(f.v AS DOUBLE) * c.v)
+      |      / (SQRT(SUM(CAST(f.v AS DOUBLE) * f.v)) * SQRT(SUM(CAST(c.v AS DOUBLE) * c.v))) AS sim
+      |  FROM flat f JOIN cflat c ON c.i = f.i GROUP BY 1, 2),
+      |ranked AS (SELECT vec_id, cid,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM cc),
+      |ccell AS (SELECT vec_id AS neighbor_id, cid FROM ranked WHERE rn = 1),
+      |qcell AS (SELECT vec_id AS query_id, cid FROM ranked WHERE rn <= 2 AND vec_id < 32),
+      |pairs AS (SELECT q.query_id, c.neighbor_id FROM qcell q JOIN ccell c USING (cid)
+      |          WHERE c.neighbor_id <> q.query_id),
+      |dots AS (SELECT p.query_id, p.neighbor_id,
+      |    SUM(CAST(a.v AS DOUBLE) * b.v) AS dot,
+      |    SQRT(SUM(CAST(a.v AS DOUBLE) * a.v)) * SQRT(SUM(CAST(b.v AS DOUBLE) * b.v)) AS nrm
+      |  FROM pairs p
+      |  JOIN flat a ON a.vec_id = p.query_id
+      |  JOIN flat b ON b.vec_id = p.neighbor_id AND b.i = a.i
+      |  GROUP BY 1, 2),
+      |rk AS (SELECT query_id, neighbor_id, dot/nrm AS cos,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot/nrm DESC, neighbor_id) AS rank
+      |  FROM dots)
+      |SELECT query_id, neighbor_id, round(cos, 4) AS cos, CAST(rank AS INT) AS rank
+      |FROM rk WHERE rank <= 5""".stripMargin
+
+  /** q26: the synthetic pixels / stub payloads are pure modular arithmetic,
+    * so DuckDB recomputes the features exactly; float32 semantics are
+    * mirrored with REAL casts (all intermediate integers < 2^24 are exact in
+    * float32, and the double additions run in the same left-to-right order
+    * as Spark's `aggregate`).
+    */
+  private def q26OracleSql: String = {
+    def gridSum(f: String): String =
+      s"CAST(list_sum(flatten(list_transform(range(0, h), y -> " +
+        s"list_transform(range(0, w), x -> ($f) % 256)))) AS BIGINT)"
+    s"""WITH a AS (SELECT CAST(range AS BIGINT) AS id FROM range(0, 200)),
+      |img AS (SELECT id, 16 + id % 16 AS w, 12 + id % 8 AS h FROM a WHERE id % 3 = 0),
+      |imgs AS (SELECT id, w, h,
+      |    ${gridSum("id*31 + x*7 + y*13")} AS rs,
+      |    ${gridSum("id*17 + x*11 + y*3")} AS gs,
+      |    ${gridSum("id*5 + x*13 + y*29")} AS bs
+      |  FROM img),
+      |irow AS (SELECT id AS asset_id, 'image' AS kind, 5 AS feat_dim,
+      |    round(CAST(CAST(w AS REAL) AS DOUBLE) + CAST(CAST(h AS REAL) AS DOUBLE)
+      |        + CAST(CAST(rs AS REAL) / CAST(w*h*255 AS REAL) AS DOUBLE)
+      |        + CAST(CAST(gs AS REAL) / CAST(w*h*255 AS REAL) AS DOUBLE)
+      |        + CAST(CAST(bs AS REAL) / CAST(w*h*255 AS REAL) AS DOUBLE), 3) AS feat_sum
+      |  FROM imgs),
+      |avrow AS (SELECT id AS asset_id,
+      |    CASE WHEN id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, 8 AS feat_dim,
+      |    round(CAST(list_sum(list_transform(range(0, 32 + (id*37) % 512),
+      |        i -> (id*131 + i*7) % 256)) AS DOUBLE), 3) AS feat_sum
+      |  FROM a WHERE id % 3 <> 0)
+      |SELECT * FROM irow UNION ALL SELECT * FROM avrow""".stripMargin
+  }
+
+  /** DuckDB oracles — every gate query now has one. The hash-kernel queries
+    * (q22/q23/q24/q32) replay the portable Mix61/RollingHash arithmetic via
+    * macros; q26 recomputes the synthetic multimodal features from their
+    * generating formulas; q39's deterministic quantizer is plain SQL.
     */
   def oracleSql: Map[String, String] = Map(
+    "q22_minhash_lsh" -> q22OracleSql,
+    "q23_simhash_pairs" -> q23OracleSql,
+    "q24_ann_lsh" -> q24OracleSql,
+    "q26_multimodal" -> q26OracleSql,
+    "q32_cosine_neardup" -> q32OracleSql,
+    "q39_ann_ivf" -> q39OracleSql,
     "q01_pit_asof" ->
       """WITH ent AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
         |feat AS (SELECT event_id AS f_id, user_id, ts AS f_ts, value FROM events WHERE event_type = 'purchase'),
@@ -673,7 +848,7 @@ object SparkEntry {
       """SELECT min(doc_id) AS doc_id, text, count(*) AS n_dups
         |FROM documents GROUP BY text""".stripMargin,
     "q14_ngram_jaccard" ->
-      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      """WITH words AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),
         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
         |       FROM words, UNNEST(range(1, len(w) - 1)) t(i)),
         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -823,7 +998,7 @@ object SparkEntry {
         |  array_to_string(flatten(list(t ORDER BY shard, doc_id)), ',') AS packed_str
         |FROM p GROUP BY 1, 2""".stripMargin,
     "q40_jaccard_prefix" ->
-      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      """WITH words AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),
         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
         |       FROM words, UNNEST(range(1, len(w) - 1)) t(i)),
         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -904,7 +1079,7 @@ object SparkEntry {
         |    list_transform(range(1, 48 - least(len(t), 48) + 1), x -> 0)), ',') AS padded_str
         |FROM toks""".stripMargin,
     "q44_decontaminate" ->
-      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      """WITH words AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),
         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
         |       FROM words, UNNEST(range(1, len(w) - 1)) t(i)),
         |b AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id < 20),

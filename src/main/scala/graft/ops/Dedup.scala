@@ -24,19 +24,27 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
       .select(col(idCol), col(contentCol), col("n_dups"))
 
-  /** Word shingles as 64-bit hashes: distinct n-grams of whitespace-split
-    * words per doc, each shingle immediately hashed with xxhash64 over its
-    * word columns — no n-gram string is ever materialized, and every
-    * downstream shuffle/join moves 8-byte longs instead of text. Set
-    * semantics (and therefore Jaccard counts) are preserved up to 64-bit
-    * hash collisions: ~d²/2⁶⁵ expected colliding pairs for d distinct
-    * shingles — zero in practice below ~10⁹ distinct shingles, and a
-    * bounded count undercount of ±1 per collision beyond that (acceptable
-    * for near-dup mining; the collision rate is documented, deterministic,
-    * and seed-stable). Split is `\s+` — same tokenization as [[TextStats]].
+  /** Word shingles as 61-bit hashes: distinct n-grams of whitespace-split
+    * words per doc, each shingle hashed with the portable
+    * [[graft.functions.RollingHash]] recurrence over the space-joined n-gram
+    * — the n-gram string exists only transiently inside the scan stage's
+    * codegen'd projection, so every downstream shuffle/join still moves
+    * 8-byte longs instead of text. Set semantics (and therefore Jaccard
+    * counts) are preserved up to hash collisions: ~d²/2⁶² expected colliding
+    * pairs for d distinct shingles — zero in practice below ~10⁹ distinct
+    * shingles, and a bounded count undercount of ±1 per collision beyond
+    * that (acceptable for near-dup mining; deterministic and seed-stable).
+    * The rolling hash (vs round 2's xxhash64) is ENGINE-PORTABLE — plain
+    * modular arithmetic any engine reproduces — which is what gives the
+    * MinHash/SimHash gate queries exact DuckDB oracles (`rh61` in
+    * [[graft.functions.Mix61.oracleMacros]]).
+    * Tokenization: split on `\s+` with empty tokens dropped — so
+    * leading/trailing/consecutive whitespace never produces a phantom ""
+    * word, and the DuckDB oracles mirror it exactly with
+    * `list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')`.
     */
   def wordShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val words = split(col(textCol), "\\s+")
+    val words = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
     df.select(col(idCol), words.as("__w"))
       .where(size(col("__w")) >= n)
       .select(
@@ -44,7 +52,8 @@ object Dedup {
         explode(
           transform(
             sequence(lit(0), size(col("__w")) - n),
-            i => xxhash64((0 until n).map(k => element_at(col("__w"), i + k + 1)): _*))).as("shingle"))
+            i => graft.functions.RollingHash.rolling_hash(
+              concat_ws(" ", (0 until n).map(k => element_at(col("__w"), i + k + 1)): _*)))).as("shingle"))
       .distinct()
   }
 
@@ -232,14 +241,16 @@ object Dedup {
   }
 
   /** MinHash signatures: k independent permutations simulated as
-    * min(xxhash64(shingle, seed_i)) per doc. One groupBy, k codegen'd aggs.
+    * min(mix61(shingle, seed_i)) per doc — [[graft.functions.Mix61]] is
+    * engine-portable, so the DuckDB gate replays the exact signatures.
+    * One groupBy, k codegen'd aggs.
     */
   def minhashSignatures(
       shingles: DataFrame,
       idCol: String,
       numHashes: Int): DataFrame = {
     val mins = (0 until numHashes).map(i =>
-      min(xxhash64(col("shingle"), lit(i))).as(s"mh_$i"))
+      min(graft.functions.Mix61.mix61(col("shingle"), lit(i.toLong))).as(s"mh_$i"))
     shingles.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
@@ -260,13 +271,16 @@ object Dedup {
     val rows = numHashes / bands
     val sh = wordShingles(df, idCol, textCol, shingleN).cache()
     val sig = minhashSignatures(sh, idCol, numHashes)
-    // band signature = hash of its r minhash values
+    // band signature = order-sensitive mix61 fold of its r minhash values
+    // (h := mix61(h + v, 17)) — portable, mirrored in the DuckDB oracle
+    def bandSig(b: Int): Column =
+      (b * rows until (b + 1) * rows).foldLeft(lit(0L): Column) { (h, i) =>
+        graft.functions.Mix61.mix61(h + col(s"mh_$i"), lit(17L))
+      }
     val banded = sig.select(
       col(idCol),
       explode(array((0 until bands).map { b =>
-        struct(
-          lit(b).as("band"),
-          xxhash64((b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*).as("sig"))
+        struct(lit(b).as("band"), bandSig(b).as("sig"))
       }: _*)).as("bs"))
       .select(col(idCol), col("bs.band"), col("bs.sig"))
     val cand = banded.as("x").join(banded.as("y"), Seq("band", "sig"))
@@ -277,25 +291,36 @@ object Dedup {
     verifyJaccard(cand, sh, idCol, threshold)
   }
 
-  /** 64-bit SimHash over word shingles: bit b of the fingerprint is the sign
-    * of sum over shingles of (bit b of xxhash64(shingle) ? +1 : -1).
-    * Expressed as 64 conditional-sum aggregate columns — fully codegen'd.
+  /** SimHash bit width: 60 bits (4 LSH blocks × 15 bits) from one portable
+    * mix61 draw per shingle — every bit of the fingerprint is covered by a
+    * block, preserving the pigeonhole recall guarantee, and the fingerprint
+    * stays strictly positive in a signed 64-bit value on every engine (a
+    * 64-bit fingerprint's top bit would need wrap-around shifts that DuckDB
+    * rejects).
+    */
+  final val SimhashBits = 60
+
+  /** 60-bit SimHash over word shingles: bit b of the fingerprint is the sign
+    * of sum over shingles of (bit b of mix61(shingle, 211) ? +1 : -1).
+    * Expressed as 60 conditional-sum aggregate columns — fully codegen'd,
+    * and exactly reproducible in the DuckDB gate via [[graft.functions.Mix61]].
     */
   def simhash(shingles: DataFrame, idCol: String): DataFrame = {
-    val h = xxhash64(col("shingle"))
-    val bitSums = (0 until 64).map { b =>
+    val h = graft.functions.Mix61.mix61(col("shingle"), lit(211L))
+    val bitSums = (0 until SimhashBits).map { b =>
       sum(when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__b$b")
     }
     val agg = shingles.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 64).map { b =>
+    val fp = (0 until SimhashBits).map { b =>
       when(col(s"__b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }.reduce[Column](_.bitwiseOR(_))
     agg.select(col(idCol), fp.as("simhash"))
   }
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming, found via
-    * 4×16-bit block LSH (two fingerprints within hamming d<=3 share at least
-    * one of 4 blocks exactly — pigeonhole), then exact popcount verify.
+    * 4×15-bit block LSH (two fingerprints within hamming d<=3 share at least
+    * one of 4 blocks exactly — pigeonhole over all 60 bits), then exact
+    * popcount verify.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, shingleN: Int, maxHamming: Int): DataFrame = {
     require(maxHamming < 4, "block LSH with 4 blocks guarantees recall only for hamming <= 3")
@@ -303,7 +328,7 @@ object Dedup {
     val blocks = fps.select(
       col(idCol), col("simhash"),
       explode(array((0 until 4).map { b =>
-        struct(lit(b).as("blk"), shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("key"))
+        struct(lit(b).as("blk"), shiftright(col("simhash"), b * 15).bitwiseAND(0x7FFFL).as("key"))
       }: _*)).as("bk"))
       .select(col(idCol), col("simhash"), col("bk.blk"), col("bk.key"))
     val cand = blocks.as("x").join(blocks.as("y"), Seq("blk", "key"))

@@ -106,10 +106,14 @@ object Multimodal {
     def decodeAndEmbed(payload: Array[Byte]): Array[Float] = {
       // ??? <- real audio/video codec goes here; deterministic fake below
       // keeps the pipeline testable end-to-end without codec libraries.
+      // Feature = strided byte histogram with INTEGER accumulation (each
+      // bucket < 2^24, so the float32 values are exact) — bit-reproducible
+      // in any engine, which is what lets the gate query carry an exact
+      // DuckDB oracle for the stub rows.
       val out = new Array[Float](FeatureDim)
       var i = 0
       while (i < payload.length) {
-        out(i % FeatureDim) += (payload(i) & 0xFF) / 255.0f
+        out(i % FeatureDim) += (payload(i) & 0xFF)
         i += 1
       }
       out
@@ -150,8 +154,10 @@ object Multimodal {
       filter(sequence(lit(0), col(nFramesCol) - 1), i => i % stride === 0))
 
   /** Deterministic synthetic asset table for tests (no external data):
-    * image rows carry REAL PNG bytes; audio/video carry seeded opaque
-    * payloads for the stub path.
+    * image rows carry REAL PNG bytes; audio/video carry formula-derived
+    * opaque payloads (length 32 + (id·37 mod 512), byte i =
+    * (id·131 + i·7) mod 256) for the stub path — pure modular arithmetic,
+    * so the DuckDB gate recomputes the stub features exactly.
     */
   def syntheticAssets(spark: SparkSession, n: Int, seed: Long = 42L): Dataset[Asset] = {
     import spark.implicits._
@@ -162,8 +168,8 @@ object Multimodal {
         val h = 12 + (id % 8).toInt
         Asset(id, kind, ImageCodec.syntheticPng(id, w, h), w, h, 0, 1)
       } else {
-        val rnd = new scala.util.Random(seed + id)
-        val payload = Array.fill(rnd.nextInt(512) + 32)(rnd.nextInt(256).toByte)
+        val len = 32 + ((id * 37) % 512).toInt
+        val payload = Array.tabulate(len)(i => ((id * 131 + i * 7) % 256).toByte)
         Asset(id, kind, payload, 0, 0, 16000, 30)
       }
     }

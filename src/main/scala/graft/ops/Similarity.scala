@@ -53,11 +53,12 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component for (bit, dim):
-    * a sign in {-1, +1} derived from a splitmix-style integer hash — data
-    * independent, seed-stable, and cheap enough to inline per row.
+    * a sign in {-1, +1} from the engine-portable [[graft.functions.Mix61]]
+    * mix (seed 101+bit over the dimension index) — data independent,
+    * seed-stable, and exactly reproducible by the DuckDB oracle.
     */
   private def planeSign(bit: Int, dim: Column): Column = {
-    val h = hash(lit(bit), dim, lit(20240142))
+    val h = graft.functions.Mix61.mix61(dim, lit(101L + bit))
     when(h.bitwiseAND(1) === 1, lit(1.0)).otherwise(lit(-1.0))
   }
 
