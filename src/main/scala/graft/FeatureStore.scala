@@ -38,8 +38,13 @@ final class FeatureStore(spark: SparkSession, views: Map[String, FeatureView]) {
       else Inference.eventTimestampColumn(entityDf.schema)
     require(entityDf.columns.contains(tsCol),
       s"entity frame is missing timestamp column '$tsCol'")
+    // Reference utils.py:6-11 semantics: tz-naive ⇒ UTC, tz-aware ⇒ convert
+    // to UTC. String timestamps (the only representation that can mix
+    // zones per value) are parsed and re-rendered as UTC wall time here.
+    val entityNorm = entityDf.withColumn(tsCol, graft.fe.Timestamps.normalizeUtc(
+      col(tsCol), entityDf.schema(tsCol).dataType))
     val grouped = FeatureRefs.group(FeatureRefs.parse(featureRefs), views, fullFeatureNames)
-    val bounds = Materialize.timestampBounds(entityDf, tsCol)
+    val bounds = Materialize.timestampBounds(entityNorm, tsCol)
 
     // Fold order: narrow views first, wide (array/binary/...) views LAST —
     // each view's as-of window carries the accumulated frame as payload, so
@@ -57,13 +62,13 @@ final class FeatureStore(spark: SparkSession, views: Map[String, FeatureView]) {
     val ordered = grouped.toSeq.sortBy { case (view, feats) =>
       val wide = view.features.exists(f =>
         feats.contains(f.name) && (f.valueType match {
-          case _: ValueType.ListOf => true
+          case _: ValueType.ListOf | _: ValueType.MapOf => true
           case ValueType.BYTES => true
           case _ => false
         }))
       (wide, view.name)
     }
-    ordered.foldLeft(entityDf) { case (acc, (view, feats)) =>
+    ordered.foldLeft(entityNorm) { case (acc, (view, feats)) =>
       val keys = view.joinKeys
       keys.foreach(k => require(acc.columns.contains(k),
         s"entity frame is missing join key '$k' for view '${view.name}'"))

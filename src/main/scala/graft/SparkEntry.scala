@@ -485,6 +485,42 @@ object SparkEntry {
     tbl(spark, dir, "documents")
       .select(col("doc_id"), TextStats.repetitionRatio(col("text"), 3).as("rep_ratio"))
 
+  /** F1 timezone torture (reference driver_test_data.py:53-75 +
+    * utils.py:6-11): entity timestamps arrive as STRINGS cycling through
+    * tz-naive-UTC / explicit +00:00 / +02:00-shifted wall / US-Pacific wall
+    * with a region zone id — four representations of the SAME instants —
+    * and flow through the facade's normalization into the PIT join. The
+    * oracle computes over the plain UTC timestamps, so a pass proves the
+    * mixed-tz retrieval is identical to the all-UTC one (zero temporal
+    * drift from representation).
+    */
+  private def q46TzNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(spark, dir, "events")
+    val m = col("event_id") % 4
+    val frac = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val fracT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    val wallPacific =
+      convert_timezone(lit("UTC"), lit("America/Los_Angeles"), col("ts"))
+    val styled = ev.where(col("event_type") === "click").select(
+      col("event_id"), col("user_id"),
+      when(m === 0, date_format(col("ts"), frac))
+        .when(m === 1, concat(date_format(col("ts"), fracT), lit("+00:00")))
+        .when(m === 2, concat(
+          date_format(col("ts") + expr("INTERVAL 2 HOURS"), fracT), lit("+02:00")))
+        .otherwise(concat(date_format(wallPacific, frac), lit(" America/Los_Angeles")))
+        .as("ts"))
+    val view = FeatureView(
+      "purchases",
+      entities = Seq(Entity("user", ValueType.INT64, joinKey = Some("user_id"))),
+      features = Seq(Feature("purchase_value", ValueType.DOUBLE)),
+      source = BatchSource(s"$dir/events.parquet", eventTimestampColumn = "ts",
+        createdTimestampColumn = Some("event_id"),
+        fieldMapping = Map("value" -> "purchase_value")),
+      ttlSeconds = Some(4L * 3600))
+    val store = new FeatureStore(spark, Map("purchases" -> view))
+    store.getHistoricalFeatures(styled, Seq("purchases:purchase_value"), entityTsColumn = "ts")
+  }
+
   // -- rows-only operators (no exact SQL oracle) -------------------------
 
   /** Embedding-cosine near-duplicate pairs via sign-LSH buckets. */
@@ -583,7 +619,8 @@ object SparkEntry {
     "q42_online_multi" -> (q42OnlineMulti _),
     "q43_truncate_pad" -> (q43TruncatePad _),
     "q44_decontaminate" -> (q44Decontaminate _),
-    "q45_repetition" -> (q45Repetition _))
+    "q45_repetition" -> (q45Repetition _),
+    "q46_tz_normalize" -> (q46TzNormalize _))
 
   // ---- generated oracles for the hash-kernel queries -----------------------
   // Round 2 left q22/q23/q24/q26/q32/q39 rows-only because their outputs
@@ -764,6 +801,16 @@ object SparkEntry {
     "q26_multimodal" -> q26OracleSql,
     "q32_cosine_neardup" -> q32OracleSql,
     "q39_ann_ivf" -> q39OracleSql,
+    // q46 must equal the all-UTC retrieval exactly — the oracle IS the
+    // plain-UTC PIT join (facade ttl/tie-break mirror q01's shape)
+    "q46_tz_normalize" ->
+      """WITH ent AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |feat AS (SELECT event_id AS f_id, user_id, ts AS f_ts, value FROM events),
+        |j AS (SELECT e.event_id, e.user_id, e.ts, f.value,
+        |        ROW_NUMBER() OVER (PARTITION BY e.event_id ORDER BY f.f_ts DESC, f.f_id DESC) rn
+        |      FROM ent e LEFT JOIN feat f ON e.user_id = f.user_id
+        |        AND f.f_ts <= e.ts AND f.f_ts >= e.ts - INTERVAL 4 HOUR)
+        |SELECT event_id, user_id, ts, value AS purchase_value FROM j WHERE rn = 1""".stripMargin,
     "q01_pit_asof" ->
       """WITH ent AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
         |feat AS (SELECT event_id AS f_id, user_id, ts AS f_ts, value FROM events WHERE event_type = 'purchase'),

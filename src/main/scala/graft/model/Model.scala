@@ -25,15 +25,25 @@ object ValueType {
   final case class ListOf(elem: ValueType) extends ValueType(ArrayType(elem.sparkType)) {
     require(!elem.isInstanceOf[ListOf], "only one list nesting level (type_map.py:154-159)")
   }
+  /** Engine extension beyond the reference's proto enum: map-typed feature
+    * payloads (Spark MapType is first-class; the facade hashes them via
+    * to_json on the wide path).
+    */
+  final case class MapOf(key: ValueType, value: ValueType)
+    extends ValueType(MapType(key.sparkType, value.sparkType))
   /** Proto-enum-style name ("INT32", "FLOAT_LIST", ... — Value.proto:26-46). */
   def name(vt: ValueType): String = vt match {
     case ListOf(e) => s"${name(e)}_LIST"
+    case MapOf(k, v) => s"MAP_${name(k)}_${name(v)}"
     case other => other.toString
   }
 
   def fromName(s: String): ValueType =
     if (s.endsWith("_LIST")) ListOf(fromName(s.stripSuffix("_LIST")))
-    else s match {
+    else if (s.startsWith("MAP_")) {
+      val parts = s.stripPrefix("MAP_").split("_", 2)
+      MapOf(fromName(parts(0)), fromName(parts(1)))
+    } else s match {
       case "BYTES" => BYTES
       case "STRING" => STRING
       case "INT32" => INT32
@@ -56,6 +66,7 @@ object ValueType {
     case BooleanType => BOOL
     case TimestampType => UNIX_TIMESTAMP
     case ArrayType(e, _) => ListOf(fromSpark(e))
+    case MapType(k, v, _) => MapOf(fromSpark(k), fromSpark(v))
     case other => throw new IllegalArgumentException(s"unsupported type $other")
   }
 }
@@ -147,7 +158,10 @@ object Inference {
     * error (inference.py:62-118 raises the same way).
     */
   def eventTimestampColumn(schema: StructType): String = {
-    schema.fields.find(f => f.name == "event_timestamp" && isTimestamp(f.dataType))
+    // name takes priority regardless of type (reference behavior) — a STRING
+    // event_timestamp is legal input, normalized by Timestamps.normalizeUtc
+    schema.fields.find(f => f.name == "event_timestamp" &&
+        (isTimestamp(f.dataType) || f.dataType == StringType))
       .map(_.name)
       .getOrElse {
         schema.fields.filter(f => isTimestamp(f.dataType)) match {

@@ -201,6 +201,92 @@ class FeatureStoreSpec extends SparkSpec {
     assert(out.length == 1 && out.head.getDouble(out.head.fieldIndex("rate")) == 0.5)
   }
 
+  test("mixed-timezone STRING entity timestamps equal the all-UTC retrieval") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fs_tz").toString
+    Seq(
+      (1L, t(10), t(10), 0.5), (1L, t(20), t(21), 0.7), (2L, t(10), t(10), 0.9))
+      .toDF("driver_id", "event_timestamp", "created", "rate")
+      .write.parquet(s"$dir/src.parquet")
+    val view = FeatureView("v",
+      Seq(Entity("driver", ValueType.INT64, Some("driver_id"))),
+      Seq(Feature("rate", ValueType.DOUBLE)),
+      BatchSource(s"$dir/src.parquet", "event_timestamp", Some("created")),
+      ttlSeconds = Some(3600L))
+    val store = new FeatureStore(spark, Map("v" -> view))
+
+    // four representations of the SAME instant 2021-04-12T00:25:00Z
+    // (Pacific was PDT, UTC-7, on that date)
+    val styled = Seq(
+      (100L, 1L, "2021-04-12 00:25:00"),
+      (101L, 1L, "2021-04-12T00:25:00+00:00"),
+      (102L, 2L, "2021-04-12T02:25:00+02:00"),
+      (103L, 2L, "2021-04-11 17:25:00 America/Los_Angeles"))
+      .toDF("order_id", "driver_id", "event_timestamp")
+    val utc = Seq(
+      (100L, 1L, t(25)), (101L, 1L, t(25)), (102L, 2L, t(25)), (103L, 2L, t(25)))
+      .toDF("order_id", "driver_id", "event_timestamp")
+
+    def res(e: org.apache.spark.sql.DataFrame) =
+      store.getHistoricalFeatures(e, Seq("v:rate"))
+        .collect().map(r => r.getLong(0) -> r.get(r.fieldIndex("rate"))).toMap
+    val got = res(styled)
+    assert(got == res(utc))
+    assert(got(100L) == 0.7 && got(103L) == 0.9)
+  }
+
+  test("map-typed features route through the wide path (hash uses to_json)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fs_map").toString
+    Seq(
+      (1L, t(10), 1L, Map("a" -> 1, "b" -> 2)),
+      (1L, t(20), 2L, Map("c" -> 3)),
+      (2L, t(10), 3L, Map.empty[String, Int]))
+      .toDF("driver_id", "event_timestamp", "created", "props")
+      .write.parquet(s"$dir/src.parquet")
+    val view = FeatureView("v",
+      Seq(Entity("driver", ValueType.INT64, Some("driver_id"))),
+      Seq(Feature("props", ValueType.MapOf(ValueType.STRING, ValueType.INT32))),
+      BatchSource(s"$dir/src.parquet", "event_timestamp", Some("created")),
+      ttlSeconds = Some(3600L))
+    val store = new FeatureStore(spark, Map("v" -> view))
+    val entity = Seq((100L, 1L, t(25)), (101L, 2L, t(25)))
+      .toDF("order_id", "driver_id", "event_timestamp")
+    val out = store.getHistoricalFeatures(entity, Seq("v:props"))
+      .collect().map { r =>
+        val m = if (r.isNullAt(r.fieldIndex("props"))) Map.empty[String, Int]
+          else r.getMap[String, Int](r.fieldIndex("props")).toMap
+        r.getLong(r.fieldIndex("order_id")) -> m
+      }.toMap
+    assert(out(100L) == Map("c" -> 3))
+    assert(out(101L) == Map.empty)
+  }
+
+  test("duplicate feature rows do not duplicate entity rows on the wide path") {
+    val d = java.nio.file.Files.createTempDirectory("graft_fs_dup").toString
+    // two feature rows IDENTICAL in every projected column (legal duplicates)
+    Seq(
+      (1L, t(10), 1L, Seq(1, 2, 3)),
+      (1L, t(10), 1L, Seq(1, 2, 3)),
+      (1L, t(20), 2L, Seq(4, 5)))
+      .toDF("driver_id", "event_timestamp", "created", "toks")
+      .write.parquet(s"$d/src.parquet")
+    val view = FeatureView("v",
+      Seq(Entity("driver", ValueType.INT64, Some("driver_id"))),
+      Seq(Feature("toks", ValueType.ListOf(ValueType.INT32))),
+      BatchSource(s"$d/src.parquet", "event_timestamp", Some("created")),
+      ttlSeconds = Some(3600L))
+    val store = new FeatureStore(spark, Map("v" -> view))
+    // entity at t15 matches the DUPLICATED t10 row — must come back once
+    val entity = Seq((100L, 1L, t(15)), (101L, 1L, t(25)))
+      .toDF("order_id", "driver_id", "event_timestamp")
+    val out = store.getHistoricalFeatures(entity, Seq("v:toks")).collect()
+    assert(out.length == 2, s"expected 2 rows, got ${out.length}")
+    val byId = out.map(r =>
+      r.getLong(r.fieldIndex("order_id")) ->
+        r.getSeq[Int](r.fieldIndex("toks")).toList).toMap
+    assert(byId(100L) == List(1, 2, 3))
+    assert(byId(101L) == List(4, 5))
+  }
+
   test("date_partition_column prunes partitions from the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fs_dpc").toString
     val rows = (0 until 20).map { d =>
