@@ -46,29 +46,28 @@ final class FeatureStore(spark: SparkSession, views: Map[String, FeatureView]) {
     val grouped = FeatureRefs.group(FeatureRefs.parse(featureRefs), views, fullFeatureNames)
     val bounds = Materialize.timestampBounds(entityNorm, tsCol)
 
-    // Fold order: narrow views first, wide (array/binary/...) views LAST —
-    // each view's as-of window carries the accumulated frame as payload, so
-    // a wide feature joined early would ride through every later view's
-    // exchange+sort. Views are independent (each joins on the original
-    // entity keys/ts only), so reordering never changes values; the driver
-    // gate hashes columns sorted by name, so output order is immaterial.
-    // Known edge: with TWO OR MORE wide views, the first one's payload still
-    // rides the later wide views' windows — stitching each wide view against
-    // the raw entity frame instead would need a unique entity row id, which
-    // cannot be synthesized safely for frames with legal duplicate rows
-    // (hashing collapses them; monotonic ids are nondeterministic across
-    // plan re-evaluation). Callers with several wide views and a natural
-    // entity key should retrieve per view and join on that key themselves.
-    val ordered = grouped.toSeq.sortBy { case (view, feats) =>
-      val wide = view.features.exists(f =>
+    // Split the fold: narrow scalar views fold directly onto the entity
+    // frame (their payload is cheap to carry through later windows); wide
+    // (array/binary/map/struct) views run ENTITY-SIDE LATE MATERIALIZED —
+    // each joins a distinct narrow (join keys, ts) probe keyed by a hash
+    // row-id, and the wide results stitch back by rowId equi-joins at the
+    // very end. Consequences at scale: NO wide column — neither an entity
+    // payload nor an earlier wide view's features — ever enters any window
+    // exchange/sort, for any number of wide views (round 2's fold put wide
+    // views last, but a second wide view still pushed the first one's
+    // payload through its window). The as-of result depends only on
+    // (join keys, ts), so stitching on hash(keys, ts) is exact up to 64-bit
+    // collisions between DISTINCT key-ts tuples (~n²/2⁶⁵ — the standard
+    // documented trade); legal duplicate entity rows share a rowId and each
+    // receives the single matched wide row, preserving multiplicity.
+    def isWide(view: FeatureView, feats: Seq[String]): Boolean =
+      view.features.exists(f =>
         feats.contains(f.name) && (f.valueType match {
           case _: ValueType.ListOf | _: ValueType.MapOf => true
           case ValueType.BYTES => true
           case _ => false
         }))
-      (wide, view.name)
-    }
-    ordered.foldLeft(entityNorm) { case (acc, (view, feats)) =>
+    def joinOne(acc: DataFrame, view: FeatureView, feats: Seq[String]): DataFrame = {
       val keys = view.joinKeys
       keys.foreach(k => require(acc.columns.contains(k),
         s"entity frame is missing join key '$k' for view '${view.name}'"))
@@ -98,6 +97,31 @@ final class FeatureStore(spark: SparkSession, views: Map[String, FeatureView]) {
       feats.foldLeft(joined) { (d, f) =>
         d.withColumnRenamed(f, FeatureRefs.outputName(view.name, f, fullFeatureNames))
       }
+    }
+
+    val (wideSeq, narrowSeq) =
+      grouped.toSeq.sortBy(_._1.name).partition { case (v, f) => isWide(v, f) }
+    val narrowAcc = narrowSeq.foldLeft(entityNorm) { case (acc, (view, feats)) =>
+      joinOne(acc, view, feats)
+    }
+    if (wideSeq.isEmpty) narrowAcc
+    else {
+      val rid = "__graft_ent_rowid"
+      // union of all wide views' join keys + the entity ts: the full
+      // determinant of every wide as-of result
+      val keyCols = (wideSeq.flatMap(_._1.joinKeys).distinct :+ tsCol).distinct
+      val probeBase = entityNorm.select(keyCols.map(col): _*)
+        .withColumn(rid, xxhash64(keyCols.map(col): _*))
+        .dropDuplicates(rid)
+      val wideJoined = wideSeq.map { case (view, feats) =>
+        val probe = probeBase.select(
+          ((view.joinKeys :+ tsCol).distinct :+ rid).map(col): _*)
+        val outNames = feats.map(f =>
+          FeatureRefs.outputName(view.name, f, fullFeatureNames))
+        joinOne(probe, view, feats).select((rid +: outNames).map(col): _*)
+      }
+      val accWithId = narrowAcc.withColumn(rid, xxhash64(keyCols.map(col): _*))
+      wideJoined.foldLeft(accWithId)((a, w) => a.join(w, Seq(rid), "left")).drop(rid)
     }
   }
 

@@ -521,6 +521,62 @@ object SparkEntry {
     store.getHistoricalFeatures(styled, Seq("purchases:purchase_value"), entityTsColumn = "ts")
   }
 
+  /** TWO wide (array) views through one retrieval — exercises the facade's
+    * entity-side late materialization end to end: each wide view as-of joins
+    * a distinct narrow (key, ts) probe and stitches back by hash row-id, so
+    * neither token array rides the other view's window exchange/sort (plan
+    * evidence in PLANS.md). Views use DIFFERENT entity keys (lang vs
+    * source), different TTLs, and different timestamp grids.
+    */
+  private def q47TwoWideViews(spark: SparkSession, dir: String): DataFrame = {
+    val outA = "/tmp/graft_verify_sink/q47_src_a"
+    val outB = "/tmp/graft_verify_sink/q47_src_b"
+    val anchor = 1618185600L
+    val docs = tbl(spark, dir, "documents")
+    def charCodes(n: Int) = transform(
+      sequence(lit(1), least(col("n_chars"), lit(n)).cast("int")),
+      i => ascii(col("text").substr(i, lit(1))))
+    docs.select(
+      col("lang"),
+      timestamp_seconds(lit(anchor) + col("doc_id") * 60).as("fts"),
+      col("doc_id").as("src_doc"),
+      charCodes(24).as("tokens"))
+      .write.mode("overwrite").parquet(outA)
+    docs.select(
+      col("source"),
+      timestamp_seconds(lit(anchor) + col("doc_id") * 45).as("fts2"),
+      col("doc_id").as("src2"),
+      reverse(charCodes(16)).as("rev_toks"))
+      .write.mode("overwrite").parquet(outB)
+    val viewA = FeatureView(
+      "tokv",
+      entities = Seq(Entity("lang", ValueType.STRING)),
+      features = Seq(
+        Feature("src_doc", ValueType.INT64),
+        Feature("tokens", ValueType.ListOf(ValueType.INT32))),
+      source = BatchSource(outA, eventTimestampColumn = "fts",
+        createdTimestampColumn = Some("src_doc")),
+      ttlSeconds = Some(3600L))
+    val viewB = FeatureView(
+      "revv",
+      entities = Seq(Entity("source", ValueType.STRING)),
+      features = Seq(Feature("rev_toks", ValueType.ListOf(ValueType.INT32))),
+      source = BatchSource(outB, eventTimestampColumn = "fts2",
+        createdTimestampColumn = Some("src2")),
+      ttlSeconds = Some(1800L))
+    val store = new FeatureStore(spark, Map("tokv" -> viewA, "revv" -> viewB))
+    val entity = docs.select(
+      col("doc_id").as("probe_id"),
+      col("lang"), col("source"),
+      timestamp_seconds(lit(anchor) + col("doc_id") * 60 + 90).as("pts"))
+    store.getHistoricalFeatures(
+      entity, Seq("tokv:src_doc", "tokv:tokens", "revv:rev_toks"),
+      entityTsColumn = "pts")
+      .select(col("probe_id"), col("lang"), col("source"), col("src_doc"),
+        arrayDigest(col("tokens")).as("tokens_str"),
+        arrayDigest(col("rev_toks")).as("rev_str"))
+  }
+
   // -- rows-only operators (no exact SQL oracle) -------------------------
 
   /** Embedding-cosine near-duplicate pairs via sign-LSH buckets. */
@@ -620,7 +676,8 @@ object SparkEntry {
     "q43_truncate_pad" -> (q43TruncatePad _),
     "q44_decontaminate" -> (q44Decontaminate _),
     "q45_repetition" -> (q45Repetition _),
-    "q46_tz_normalize" -> (q46TzNormalize _))
+    "q46_tz_normalize" -> (q46TzNormalize _),
+    "q47_two_wide_views" -> (q47TwoWideViews _))
 
   // ---- generated oracles for the hash-kernel queries -----------------------
   // Round 2 left q22/q23/q24/q26/q32/q39 rows-only because their outputs
@@ -801,6 +858,29 @@ object SparkEntry {
     "q26_multimodal" -> q26OracleSql,
     "q32_cosine_neardup" -> q32OracleSql,
     "q39_ann_ivf" -> q39OracleSql,
+    "q47_two_wide_views" ->
+      """WITH f1 AS (SELECT lang, doc_id AS src_doc, 1618185600 + doc_id*60 AS fe,
+        |    list_transform(range(1, least(n_chars, 24) + 1),
+        |      i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS INT)) AS tokens
+        |  FROM documents),
+        |f2 AS (SELECT source, doc_id AS src2, 1618185600 + doc_id*45 AS fe2,
+        |    list_reverse(list_transform(range(1, least(n_chars, 16) + 1),
+        |      i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS INT))) AS rev
+        |  FROM documents),
+        |e AS (SELECT doc_id AS probe_id, lang, source, 1618185600 + doc_id*60 + 90 AS pe FROM documents),
+        |j1 AS (SELECT e.probe_id, f1.src_doc, f1.tokens,
+        |    ROW_NUMBER() OVER (PARTITION BY e.probe_id ORDER BY f1.fe DESC, f1.src_doc DESC) rn
+        |  FROM e LEFT JOIN f1 ON e.lang = f1.lang AND f1.fe <= e.pe AND f1.fe >= e.pe - 3600),
+        |j2 AS (SELECT e.probe_id, f2.rev,
+        |    ROW_NUMBER() OVER (PARTITION BY e.probe_id ORDER BY f2.fe2 DESC, f2.src2 DESC) rn
+        |  FROM e LEFT JOIN f2 ON e.source = f2.source AND f2.fe2 <= e.pe AND f2.fe2 >= e.pe - 1800)
+        |SELECT e.probe_id, e.lang, e.source, j1.src_doc,
+        |  CASE WHEN j1.tokens IS NULL OR len(j1.tokens) = 0 THEN NULL
+        |       ELSE array_to_string(j1.tokens, ',') END AS tokens_str,
+        |  CASE WHEN j2.rev IS NULL OR len(j2.rev) = 0 THEN NULL
+        |       ELSE array_to_string(j2.rev, ',') END AS rev_str
+        |FROM e JOIN j1 ON j1.probe_id = e.probe_id AND j1.rn = 1
+        |       JOIN j2 ON j2.probe_id = e.probe_id AND j2.rn = 1""".stripMargin,
     // q46 must equal the all-UTC retrieval exactly — the oracle IS the
     // plain-UTC PIT join (facade ttl/tie-break mirror q01's shape)
     "q46_tz_normalize" ->

@@ -194,7 +194,11 @@ object AsOfJoin {
           broadcast(matched.select(col(rowId)).na.drop().distinct()),
           Seq(rowId), "left_semi")
       else payload
-    matched.join(pruned, Seq(rowId), "left")
+    // shuffle-HASH fetch, not sort-merge: the wide payload crosses exactly
+    // one exchange (to its rowId partition) and is never sorted — a
+    // sort-merge fetch would re-sort every payload byte just to equi-join
+    // on an 8-byte key
+    matched.join(pruned.hint("shuffle_hash"), Seq(rowId), "left")
   }
 
   /** Range-join strategy (reference SQL shape, bigquery.py:551-694 compressed
