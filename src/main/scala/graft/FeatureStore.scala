@@ -89,7 +89,7 @@ final class FeatureStore(spark: SparkSession, views: Map[String, FeatureView]) {
         features = feats)
       val hot: Seq[Any] =
         if (saltBuckets > 1 && autoDetectHotKeys)
-          graft.exec.Skew.detectHotKeys(entityDf, keys.head)
+          graft.exec.Skew.detectHotKeyTuples(entityDf, keys)
         else Nil
       val joined = joinView(acc, projected, spec, feats,
         if (hot.nonEmpty || (saltBuckets > 1 && !autoDetectHotKeys)) saltBuckets else 1,

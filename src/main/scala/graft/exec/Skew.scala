@@ -23,10 +23,25 @@ object Skew {
       keyCol: String,
       hotShare: Double = 0.01,
       sampleFraction: Double = 0.01,
-      seed: Long = 42L): Seq[Any] = {
-    val counts = df.select(col(keyCol))
+      seed: Long = 42L): Seq[Any] =
+    detectHotKeyTuples(df, Seq(keyCol), hotShare, sampleFraction, seed).map(_.head)
+
+  /** Composite-key variant: samples on the full key TUPLE, so a multi-entity
+    * view (e.g. customer+driver) detects heat on the combination — a pair
+    * can be scorching while each component alone is not (and vice versa:
+    * a hot single column spread over many partners is NOT a hot window
+    * partition). Returned tuples align with `keyCols` order and feed
+    * [[graft.pit.AsOfJoin.windowed]]'s `hotKeys` directly.
+    */
+  def detectHotKeyTuples(
+      df: DataFrame,
+      keyCols: Seq[String],
+      hotShare: Double = 0.01,
+      sampleFraction: Double = 0.01,
+      seed: Long = 42L): Seq[Seq[Any]] = {
+    val counts = df.select(keyCols.map(col): _*)
       .sample(withReplacement = false, sampleFraction, seed)
-      .groupBy(col(keyCol)).count()
+      .groupBy(keyCols.map(col): _*).count()
       .cache()
     try {
       // sum over zero rows is NULL — read null-safely before the guard
@@ -34,7 +49,7 @@ object Skew {
       val total = if (row.isNullAt(0)) 0L else row.getLong(0)
       if (total == 0) Seq.empty
       else counts.where(col("count") >= lit(total * hotShare))
-        .collect().map(_.get(0)).toSeq
+        .collect().map(r => keyCols.indices.map(r.get).toSeq).toSeq
     } finally counts.unpersist()
   }
 }

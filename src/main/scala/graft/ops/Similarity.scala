@@ -62,13 +62,16 @@ object Similarity {
     when(h.bitwiseAND(1) === 1, lit(1.0)).otherwise(lit(-1.0))
   }
 
-  /** Sign-LSH signature of `numBits` bits for an embedding column. */
-  def signSignature(vec: Column, numBits: Int): Column = {
+  /** Sign-LSH signature of `numBits` bits for an embedding column, using
+    * hyperplanes `firstBit until firstBit + numBits` (the offset lets banded
+    * callers draw independent planes per band).
+    */
+  def signSignature(vec: Column, numBits: Int, firstBit: Int = 0): Column = {
     val proj = (0 until numBits).map { b =>
       // dot(vec, plane_b) via index-aware aggregate
       val dotExpr = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (v, i) => v.cast("double") * planeSign(b, i)),
+          (v, i) => v.cast("double") * planeSign(firstBit + b, i)),
         lit(0.0), (acc, z) => acc + z)
       when(dotExpr > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }
@@ -217,21 +220,63 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
-    * LSH-bucketed (same-signature only) — the near-dup variant of lshTopK.
+    * sign-LSH bucketed with banding — the near-dup variant of lshTopK,
+    * false-positive free (candidates are verified with exact cosine).
+    *
+    * Scaling knobs (the round-2 version's FIXED 2^numBits buckets made the
+    * within-bucket self-join (N/2^bits)² — quadratic at corpus scale):
+    *
+    *  - `targetBucketSize > 0` derives bits-per-band from the corpus count
+    *    (one planning-time `count()`): bits = max(numBits,
+    *    ceil(log2(N / target))), so expected bucket size stays ≈ target and
+    *    candidate volume grows ~linearly in N (≈ N·target/2 per band).
+    *  - `bands > 1` recovers the recall that more bits cost: a pair is a
+    *    candidate if it agrees on ALL bits of ANY band (independent
+    *    hyperplane sets per band) — the same S-curve trade as
+    *    [[graft.ops.Dedup.minhashLsh]]'s banding. For vectors at angle θ,
+    *    P(candidate) = 1 - (1 - (1-θ/π)^bits)^bands.
+    *
+    * Defaults (bands = 1, targetBucketSize = 0) reproduce the single-table
+    * fixed-bits behavior bit-for-bit, so existing oracles are unchanged.
     */
   def cosineNearDup(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       numBits: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      bands: Int = 1,
+      targetBucketSize: Long = 0L): DataFrame = {
+    val bitsPerBand =
+      if (targetBucketSize > 0L) {
+        // planning-time scalar, same class as ivfTopK's centroid collect
+        val n = math.max(1L, df.count())
+        math.max(numBits,
+          math.ceil(math.log(n.toDouble / targetBucketSize) / math.log(2.0)).toInt)
+      } else numBits
+    require(bands >= 1 && bitsPerBand >= 1 && bands * bitsPerBand <= 63,
+      s"bands * bitsPerBand must fit a long signature, got $bands x $bitsPerBand")
+    // candidate generation is NARROW (id, band, sig — 20 bytes/row through
+    // the bucket shuffle); vectors are fetched only for the distinct
+    // surviving pairs, so the wide embedding column never rides the
+    // candidate join
     val sigged = df.select(
-      col(idCol), col(vecCol).as("__v"),
-      signSignature(col(vecCol), numBits).as("__sig"))
-    sigged.as("x").join(sigged.as("y"), Seq("__sig"))
+      col(idCol),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          signSignature(col(vecCol), bitsPerBand, firstBit = b * bitsPerBand).as("sig"))
+      }: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("__band"), col("bs.sig").as("__sig"))
+    val pairs = sigged.as("x").join(sigged.as("y"), Seq("__band", "__sig"))
       .where(col(s"x.$idCol") < col(s"y.$idCol"))
-      .withColumn("cos", cosine(col("x.__v"), col("y.__v")))
+      .select(col(s"x.$idCol").as("id1"), col(s"y.$idCol").as("id2"))
+      .distinct()
+    val vecs = df.select(col(idCol), col(vecCol))
+    pairs
+      .join(vecs.select(col(idCol).as("id1"), col(vecCol).as("__v1")), Seq("id1"))
+      .join(vecs.select(col(idCol).as("id2"), col(vecCol).as("__v2")), Seq("id2"))
+      .withColumn("cos", cosine(col("__v1"), col("__v2")))
       .where(col("cos") >= threshold)
-      .select(col(s"x.$idCol").as("id1"), col(s"y.$idCol").as("id2"), round(col("cos"), 4).as("cos"))
+      .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
   }
 }

@@ -46,6 +46,7 @@ object AsOfJoin {
   private val TAG = "__graft_tag"
   private val TS = "__graft_ts"
   private val SALT = "__graft_salt"
+  private val SALTSRC = "__graft_saltsrc"
 
   /** Single-shuffle sort-merge as-of join (strategy B — the default).
     *
@@ -88,18 +89,31 @@ object AsOfJoin {
 
     // Left side: keys + ts + null struct + original payload packed so the
     // union schema stays narrow. Payload is built in the SAME projection —
-    // entity columns no longer exist afterwards.
+    // entity columns no longer exist afterwards. When salting, a per-row
+    // salt source is hashed from ts + every hashable payload column: a hot
+    // key probed many times AT THE SAME TIMESTAMP (the common
+    // snapshot-entity-frame shape) still spreads across buckets — round 2's
+    // xxhash64(ts, tag) salt collapsed such rows into one bucket. Only
+    // byte-identical duplicate rows share a bucket (indistinguishable by
+    // any deterministic function). Map-typed payload columns are excluded
+    // from the hash (Spark rejects hashing maps); ts+remaining columns
+    // still disambiguate.
     val payload = struct(entityCols.map(col): _*)
     val createdType = rightBase.schema("__graft_created").dataType
+    val saltSrc: Seq[Column] =
+      if (saltBuckets > 1) Seq(saltSource(entity, spec).as(SALTSRC)) else Nil
     val leftBase = entity.select(
       spec.keys.map(col) ++ Seq(
         col(spec.leftTs).as(TS),
         lit(null).cast(createdType).as("__graft_created"),
         lit(null).cast(rightBase.schema(FEAT).dataType).as(FEAT),
         lit(1).as(TAG),
-        payload.as("__graft_payload")): _*)
-    val rightWithPayload =
+        payload.as("__graft_payload")) ++ saltSrc: _*)
+    val rightWithPayload0 =
       rightBase.withColumn("__graft_payload", lit(null).cast(leftBase.schema("__graft_payload").dataType))
+    val rightWithPayload =
+      if (saltBuckets > 1) rightWithPayload0.withColumn(SALTSRC, lit(0L))
+      else rightWithPayload0
 
     val (l, r, partCols) =
       if (saltBuckets > 1) saltSides(leftBase, rightWithPayload, spec, saltBuckets, hotKeys)
@@ -132,8 +146,26 @@ object AsOfJoin {
         featCols.map(f => col(s"__graft_pick.`$f`").as(f)): _*)
   }
 
-  /** Salt the union sides: entity rows get a per-row bucket, feature rows of
-    * hot keys are replicated to all buckets (posexplode of a constant array).
+  /** Per-entity-row salt source: hash of ts + every hashable entity column.
+    * Package-visible so specs can assert bucket occupancy directly.
+    */
+  private[graft] def saltSource(entity: DataFrame, spec: AsOfSpec): Column = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def hashable(dt: DataType): Boolean = dt match {
+      case _: MapType => false
+      case ArrayType(et, _) => hashable(et)
+      case st: StructType => st.fields.forall(f => hashable(f.dataType))
+      case _ => true
+    }
+    xxhash64((col(spec.leftTs) +:
+      entity.schema.fields.toSeq.filter(f => hashable(f.dataType))
+        .map(f => col(f.name))): _*)
+  }
+
+  /** Salt the union sides: entity rows get a per-row bucket from the
+    * row-unique salt source (ts + payload hash, computed in `windowed`),
+    * feature rows of hot keys are replicated to all buckets (posexplode of
+    * a constant array).
     */
   private def saltSides(
       left: DataFrame,
@@ -141,19 +173,28 @@ object AsOfJoin {
       spec: AsOfSpec,
       buckets: Int,
       hotKeys: Seq[Any]): (DataFrame, DataFrame, Seq[String]) = {
+    // an element that is itself a Seq matches the full composite key tuple
+    // (null-safe per component); a scalar matches keys.head only
     val isHot: Column =
       if (hotKeys.isEmpty) lit(true)
-      else col(spec.keys.head).isin(hotKeys: _*)
+      else hotKeys.map {
+        case tuple: Seq[_] =>
+          spec.keys.zip(tuple).map { case (k, v) => col(k) <=> lit(v) }
+            .reduce(_ && _)
+        case scalar => col(spec.keys.head) <=> lit(scalar)
+      }.reduce(_ || _)
     val saltedLeft = left.withColumn(
       SALT,
-      when(isHot, pmod(xxhash64(col(TS), col(TAG)), lit(buckets)).cast("int"))
+      when(isHot, pmod(col(SALTSRC), lit(buckets)).cast("int"))
         .otherwise(lit(0)))
+      .drop(SALTSRC)
     val saltedRight = right
       .withColumn(
         "__graft_salts",
         when(isHot, sequence(lit(0), lit(buckets - 1))).otherwise(array(lit(0))))
       .withColumn(SALT, explode(col("__graft_salts")))
       .drop("__graft_salts")
+      .drop(SALTSRC)
     (saltedLeft, saltedRight, spec.keys :+ SALT)
   }
 

@@ -196,6 +196,25 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("cosineNearDup: banded + corpus-scaled finds identical pairs; every pair verified") {
+    val copies = vecs.take(8).map { case (i, v) => (i + 100L, v) }
+    val df = (vecs ++ copies).toDF("vec_id", "embedding")
+    // banded, corpus-scaled bits: identical vectors agree on every band
+    val out = Similarity.cosineNearDup(df, "vec_id", "embedding",
+      numBits = 4, threshold = 0.999, bands = 4, targetBucketSize = 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    for (q <- 0L until 8L)
+      assert(out.exists(p => p._1 == q && p._2 == q + 100L),
+        s"identical pair ($q, ${q + 100L}) missed")
+    // exactness: no reported cos below threshold (false-positive free)
+    assert(out.forall(_._3 >= 0.999))
+    // single-band fixed-bits path reports the same identical pairs
+    val plain = Similarity.cosineNearDup(df, "vec_id", "embedding",
+      numBits = 4, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    for (q <- 0L until 8L) assert(plain.contains((q, q + 100L)))
+  }
+
   test("ivfTopK: full probe equals brute force; single probe finds the identical vector") {
     val df = vecs.toDF("vec_id", "embedding")
     val queries = df.where(col("vec_id") < 5)

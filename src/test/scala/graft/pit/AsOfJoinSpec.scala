@@ -113,6 +113,51 @@ class AsOfJoinSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("a hot key probed at a SINGLE timestamp spreads across salt buckets") {
+    // the common snapshot-entity-frame shape: many probes of one key, all at
+    // the same ts. Round 2's salt = hash(ts, tag) put them ALL in one bucket.
+    val ents = (0 until 64).map(i => Ent(i.toLong, "k0", t(100)))
+    val feats = (0 until 40).map(i =>
+      Feat("k0", t(i.toLong), new Timestamp(t(i.toLong).getTime + i), i.toDouble))
+    val buckets = ents.toDF()
+      .select(pmod(AsOfJoin.saltSource(ents.toDF(), spec(Some(3600L))), lit(8)))
+      .collect().map(_.get(0)).toSet
+    assert(buckets.size > 1, s"single-ts hot key collapsed into $buckets")
+    // and correctness is unchanged under salting
+    assert(runWindowed(ents, feats, Some(3600L), salt = 8) ==
+      runWindowed(ents, feats, Some(3600L)))
+  }
+
+  test("composite-key hot tuples salt correctly (multi-column hotKeys)") {
+    val rnd = new scala.util.Random(5L)
+    case class E2(eid: Long, k1: String, k2: String, ets: Timestamp)
+    case class F2(k1: String, k2: String, fts: Timestamp, created: Timestamp, v: Double)
+    val ents = (0 until 80).map { i =>
+      // ("a","x") is the hot pair; other combos are the tail
+      if (i % 2 == 0) (i.toLong, "a", "x", t(rnd.nextInt(300).toLong))
+      else (i.toLong, s"k${rnd.nextInt(4)}", s"j${rnd.nextInt(4)}", t(rnd.nextInt(300).toLong))
+    }
+    val feats = (0 until 120).map { i =>
+      val (k1, k2) = if (i % 3 == 0) ("a", "x") else (s"k${rnd.nextInt(4)}", s"j${rnd.nextInt(4)}")
+      val base = rnd.nextInt(300)
+      (k1, k2, t(base.toLong), new Timestamp(t(base.toLong).getTime + i), rnd.nextDouble())
+    }
+    val entDf = ents.toDF("eid", "k1", "k2", "ets")
+    val featDf = feats.toDF("k1", "k2", "fts", "created", "v")
+    val sp = AsOfSpec(Seq("k1", "k2"), "ets", "fts", Some("created"), Some(3600L), Seq("v"))
+    def run(salt: Int, hot: Seq[Any]) =
+      AsOfJoin.windowed(entDf, featDf, sp, saltBuckets = salt, hotKeys = hot)
+        .select(col("eid"), col("v")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val plain = run(1, Nil)
+    assert(run(8, Seq(Seq("a", "x"))) == plain)
+    // detection on the tuple finds the planted hot pair
+    val hot = graft.exec.Skew.detectHotKeyTuples(
+      entDf, Seq("k1", "k2"), hotShare = 0.3, sampleFraction = 1.0)
+    assert(hot.contains(Seq("a", "x")), s"got $hot")
+    assert(run(8, hot) == plain)
+  }
+
   test("windowedLate (late-materialized payload fetch) ≡ windowed, incl. salted + shuffle fetch") {
     val (ents, feats) = scenario(23L, nEnt = 80, nFeat = 120, nKeys = 6)
     val featDf = feats.zipWithIndex
