@@ -26,6 +26,15 @@ import graft.table.SnapshotTable
   *   retrieve <registry> <entityParquet> <ref,ref,...> <entityTsCol> <out>
   *                                        point-in-time historical features
   *                                        (empty entityTsCol ⇒ inferred)
+  *   get-online-features <registry> <keysParquet> <ref,ref,...> <asOfIso>
+  *                                        point lookup of the latest values
+  *                                        per key at asOf; prints one JSON
+  *                                        row per key incl. per-feature
+  *                                        statuses
+  *   entities list <registry>             print distinct entities across views
+  *   init <registry>                      create an empty registry
+  *   teardown <registry>                  delete the registry and its
+  *                                        interval logs
   *
   * Timestamps are ISO-8601 instants (e.g. 2024-01-10T00:00:00Z). The
   * SparkSession is created here only when none exists (spark-submit /
@@ -81,9 +90,49 @@ object Main {
       result.write.mode("overwrite").parquet(out)
       println(s"Wrote ${spark.read.parquet(out).count()} rows to $out")
 
+    case "get-online-features" :: registryPath :: keysPath :: refs :: asOf :: Nil =>
+      val store = new Registry(spark, registryPath).featureStore()
+      val keys = spark.read.parquet(keysPath)
+      val result = store.getOnlineFeatures(
+        keys, refs.split(",").map(_.trim).toSeq, ts(asOf))
+      // deterministic print order: sort by the key columns
+      result.orderBy(keys.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
+        .toJSON.collect().foreach(println)
+
+    case "entities" :: "list" :: registryPath :: Nil =>
+      val views = new Registry(spark, registryPath).load().values.toSeq
+      val ents = views.flatMap(_.entities)
+        .map(e => (e.name, graft.model.ValueType.name(e.valueType), e.key))
+        .distinct.sortBy(_._1)
+      if (ents.isEmpty) println("No entities")
+      else ents.foreach { case (n, t, k) => println(s"$n  type=$t  join_key=$k") }
+
+    case "init" :: registryPath :: Nil =>
+      new Registry(spark, registryPath).apply(Nil)
+      println(s"Created registry at $registryPath")
+
+    case "teardown" :: registryPath :: Nil =>
+      val root = java.nio.file.Paths.get(registryPath)
+      // the registry is a directory of JSON part files; interval logs are
+      // siblings named intervals_<view>.log — remove both, nothing else
+      val logs = Option(root.toAbsolutePath.getParent).toSeq
+        .flatMap { parent =>
+          val d = parent.toFile.listFiles()
+          if (d == null) Nil
+          else d.toSeq.filter(f => f.getName.startsWith("intervals_") && f.getName.endsWith(".log"))
+        }
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+        f.delete(); ()
+      }
+      logs.foreach(rm)
+      if (root.toFile.exists()) rm(root.toFile)
+      println(s"Removed registry at $registryPath")
+
     case other =>
       sys.error(
-        "usage: apply|feature-views list|materialize|materialize-incremental|retrieve ..." +
+        "usage: apply|feature-views list|entities list|init|teardown|" +
+          "materialize|materialize-incremental|retrieve|get-online-features ..." +
           s" (got: ${other.mkString(" ")})")
   }
 

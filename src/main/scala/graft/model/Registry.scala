@@ -65,9 +65,31 @@ final class Registry(spark: SparkSession, path: String) {
       datePartitionColumn = r.datePartitionColumn),
     ttlSeconds = r.ttlSeconds)
 
+  /** Reference inference at apply time (feature_view.py:262-294 +
+    * inference.py:12-59): a view applied with NO declared features infers
+    * them from the (field-mapped) source schema — every column except
+    * entity join keys, the event/created timestamp columns, timestamp-typed
+    * columns, and `__`-internal columns. Inferred features persist into the
+    * registry file (as the reference does), so `load`/`featureStore` always
+    * see a fully-typed view.
+    */
+  private def inferFeatures(v: FeatureView): FeatureView =
+    if (v.features.nonEmpty) v
+    else {
+      val schema = FieldMapping(
+        spark.read.parquet(v.source.path), v.source.fieldMapping).schema
+      val excluded = v.joinKeys.toSet + v.source.eventTimestampColumn ++
+        v.source.createdTimestampColumn
+      val feats = Inference.features(schema, excluded)
+      require(feats.nonEmpty,
+        s"view '${v.name}': no features declared and none inferable from the source schema")
+      v.copy(features = feats)
+    }
+
   /** Upsert view definitions (latest apply wins, like feast `apply`). */
   def apply(views: Seq[FeatureView]): Unit = {
-    val merged = (load().values.toSeq.filterNot(v => views.exists(_.name == v.name)) ++ views)
+    val incoming = views.map(inferFeatures)
+    val merged = (load().values.toSeq.filterNot(v => incoming.exists(_.name == v.name)) ++ incoming)
       .sortBy(_.name)
     val ds: Dataset[RegistryRow] = merged.map(toRow).toDS().coalesce(1)
     ds.write.mode("overwrite").json(path)

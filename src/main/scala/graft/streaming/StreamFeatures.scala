@@ -52,10 +52,10 @@ object StreamFeatures {
       case StreamFormat.Csv(schema) =>
         raw.withColumn("__graft_p",
           from_csv(payload, schema, Map.empty[String, String]))
-      case StreamFormat.Avro(_) =>
-        throw new UnsupportedOperationException(
-          "Avro decode needs the spark-avro module (org.apache.spark.sql.avro.functions.from_avro); " +
-            "not available in this offline build")
+      case StreamFormat.Avro(schemaJson) =>
+        // real binary Avro decode on the core avro library (see AvroDecode —
+        // the spark-avro connector's from_avro is not in this offline build)
+        AvroDecode.decode(raw, schemaJson)
     }
     graft.model.FieldMapping(parsed.select(col("__graft_p.*")), source.fieldMapping)
   }

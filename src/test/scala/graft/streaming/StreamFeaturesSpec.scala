@@ -104,11 +104,66 @@ class StreamFeaturesSpec extends SparkSpec {
     val b = batch.orderBy("user_id", "win_start").collect().toSeq
     assert(s.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))) ==
       b.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))))
-    // Avro is a declared-but-undecodable format offline: the seam errors
-    intercept[UnsupportedOperationException] {
-      StreamFeatures.decode(mem.toDF().select(col("value")),
-        source.copy(format = graft.model.StreamFormat.Avro("{}")))
+  }
+
+  test("binary Avro payloads decode through StreamSource (static + streaming)") {
+    import spark.implicits._
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter}
+    import org.apache.avro.io.EncoderFactory
+
+    val schemaJson =
+      """{"type":"record","name":"Ev","fields":[
+        |{"name":"uid","type":"long"},
+        |{"name":"ts_sec","type":"long"},
+        |{"name":"v","type":["null","double"]},
+        |{"name":"tag","type":"string"},
+        |{"name":"toks","type":{"type":"array","items":"int"}}]}""".stripMargin
+    val schema = new Schema.Parser().parse(schemaJson)
+    def enc(uid: Long, tsSec: Long, v: java.lang.Double, tag: String, toks: Seq[Int]): Array[Byte] = {
+      val rec = new GenericData.Record(schema)
+      rec.put("uid", uid); rec.put("ts_sec", tsSec); rec.put("v", v)
+      rec.put("tag", tag)
+      rec.put("toks", java.util.Arrays.asList(toks.map(Int.box): _*))
+      val out = new java.io.ByteArrayOutputStream()
+      val e = EncoderFactory.get().binaryEncoder(out, null)
+      new GenericDatumWriter[GenericData.Record](schema).write(rec, e)
+      e.flush()
+      out.toByteArray
     }
+    val base = tsOf("2024-01-01T00:00:00Z").getTime / 1000
+    val payloads = Seq(
+      enc(1L, base + 10, 0.5, "a", Seq(1, 2, 3)),
+      enc(2L, base + 20, null, "b", Seq(4)),
+      Array[Byte](0x7F, 0x00) // corrupt: must decode to a null struct, not crash
+    )
+    val source = graft.model.StreamSource(
+      topic = "events", bootstrapServers = "broker:9092",
+      format = graft.model.StreamFormat.Avro(schemaJson),
+      eventTimestampColumn = "ts_sec",
+      fieldMapping = Map("uid" -> "user_id"))
+    // static frame decode
+    val decoded = StreamFeatures.decode(
+      payloads.toDF("value"), source)
+    val rows = decoded.collect()
+    assert(rows.length == 3)
+    val byUid = rows.filter(!_.isNullAt(0))
+      .map(r => r.getLong(r.fieldIndex("user_id")) -> r).toMap
+    assert(byUid(1L).getDouble(byUid(1L).fieldIndex("v")) == 0.5)
+    assert(byUid(1L).getString(byUid(1L).fieldIndex("tag")) == "a")
+    assert(byUid(1L).getSeq[Int](byUid(1L).fieldIndex("toks")) == Seq(1, 2, 3))
+    assert(byUid(2L).isNullAt(byUid(2L).fieldIndex("v"))) // [null, double] union
+    assert(rows.count(_.isNullAt(0)) == 1) // corrupt row → null fields
+    // streaming decode: same payloads through a MemoryStream, windowed
+    val mem = MemoryStream[Array[Byte]](spark)
+    mem.addData(payloads.take(2): _*)
+    val streamDecoded = StreamFeatures.decode(mem.toDF().select(col("value")), source)
+      .withColumn("ts", timestamp_seconds(col("ts_sec")))
+    val got = runStream(
+      StreamFeatures.tumbling(streamDecoded.na.drop(Seq("user_id")), "user_id", "ts",
+        "10 minutes", watermarkDelay = "1 hour", valueCol = "v"),
+      "t_avro")
+    assert(got.count() == 2) // one window row per uid
   }
 
   test("flatMapGroupsWithState as-of enrichment equals the batch as-of join") {
