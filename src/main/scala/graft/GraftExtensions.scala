@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, RollingHash}
+import graft.functions.{DotProduct, Mix61, RollingHash}
 
 /** SparkSessionExtensions entry point: registers graft's native Catalyst
   * expressions as SQL functions, so `spark.sql("SELECT rolling_hash(text)
@@ -31,6 +31,10 @@ object GraftExtensions {
     "dot_f" -> { args =>
       require(args.size == 2, "dot_f(array<float>, array<float>)")
       DotProduct(args(0), args(1))
+    },
+    "mix61" -> { args =>
+      require(args.size == 2, "mix61(bigint, bigint seed)")
+      Mix61(args(0), args(1))
     })
 
   /** Register into an existing session (tests / notebooks where the

@@ -162,9 +162,17 @@ object ScalingBench {
     // FIXED partition count across parallelism levels: identical physical
     // plans and partition sizes at every level (cores only change how many
     // tasks run at once), and 64 partitions keeps each narrow sort well
-    // under executor memory at the bench scale.
+    // under executor memory at the bench scale. AQE partition COALESCING is
+    // disabled here — with it on, `parallelismFirst` coalesces each shuffle
+    // down to ~defaultParallelism partitions, i.e. ~2 fat tasks at local[2]
+    // vs ~8 at local[8]: different task granularity per level silently
+    // inflates the N-core baseline and breaks the plan-identity premise of
+    // the comparison (AQE skew handling stays on).
     val spark = session(s"graft-scaling-$cores",
-      Map("spark.sql.shuffle.partitions" -> "64"))
+      Map(
+        "spark.sql.shuffle.partitions" ->
+          sys.env.getOrElse("SCALING_PARTITIONS", "64"),
+        "spark.sql.adaptive.coalescePartitions.enabled" -> "false"))
     val (nRows, outRows, checksum, elapsed) = timedJob(spark, dataDir)
     val rate = nRows / elapsed
     val json =

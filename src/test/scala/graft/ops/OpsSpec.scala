@@ -243,9 +243,11 @@ class OpsSpec extends SparkSpec {
     val r = spark.sql(
       "SELECT rolling_hash('abc') AS h, " +
         "dot_f(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
-        "      array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").head()
+        "      array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d, " +
+        "mix61(12345L, 7L) AS m").head()
     assert(r.getLong(0) == graft.functions.RollingHash.hash("abc"))
     assert(r.getDouble(1) == 11.0)
+    assert(r.getLong(2) == graft.functions.Mix61.mix(12345L, 7L))
   }
 
   test("native dot_f equals the zip_with/aggregate dot bit-for-bit") {

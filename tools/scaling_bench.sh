@@ -19,11 +19,17 @@ submit() { # cores, then args...
   # 16g heap, not "all the RAM": G1 on a huge heap with 32 mutator threads
   # collapses throughput (measured 33s -> 75-205s on the same job); size the
   # single-JVM heap like a real per-executor heap.
+  # GC threads pinned to the task-slot count: G1 defaults ParallelGCThreads
+  # to ~23 on this 32-vCPU box, so an unpinned "local[2]" JVM gets ~23
+  # threads of free GC help (measured 700%+ CPU) — inflating the N-core
+  # baseline and corrupting the N->4N comparison. A real 2-core executor
+  # does GC on its own 2 cores.
   /opt/spark/bin/spark-submit \
     --master "local[$cores]" \
     --driver-memory 16g \
     --conf spark.sql.session.timeZone=UTC \
     --conf spark.ui.enabled=false \
+    --driver-java-options "-XX:ParallelGCThreads=$cores -XX:ConcGCThreads=1" \
     --class graft.ScalingBench "$JAR" "$@" 2>"$DATA/spark_stderr.log" ||
     { echo "spark-submit failed; tail of stderr:"; tail -30 "$DATA/spark_stderr.log"; exit 1; }
 }
