@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.fe.Windows
 import graft.materialize.Materialize
 import graft.model.{BatchSource, Entity, Feature, FeatureView, FieldMapping, ValueType}
-import graft.ops.{Dedup, Multimodal, Similarity, TextStats, Tokens}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextStats, Tokens}
 import graft.pit.{AsOfJoin, AsOfSpec}
 import graft.table.SnapshotTable
 
@@ -630,6 +630,24 @@ object SparkEntry {
         round(aggregate(col("feature"), lit(0.0), (a, x) => a + x), 3).as("feat_sum"))
   }
 
+  /** Deterministic train/val/test hash split (portable mix61 buckets —
+    * reproducible across engines and stable under repartitioning, unlike
+    * randomSplit).
+    */
+  private def q48HashSplit(spark: SparkSession, dir: String): DataFrame =
+    Sampling.hashSplit(tbl(spark, dir, "documents"), "doc_id", seed = 42L,
+      splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("split"))
+
+  /** Mixture sampling: per-language keep rates (training-data mixture
+    * weights, C4/Pile style), deterministic by doc id.
+    */
+  private def q49Mixture(spark: SparkSession, dir: String): DataFrame =
+    Sampling.mixture(tbl(spark, dir, "documents"), "doc_id", "lang",
+      rates = Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.25, "es" -> 0.1),
+      seed = 7L, defaultRate = 0.05)
+      .select(col("doc_id"), col("lang"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pit_asof" -> (q01PitAsof _),
     "q02_latest_per_key" -> (q02LatestPerKey _),
@@ -677,7 +695,9 @@ object SparkEntry {
     "q44_decontaminate" -> (q44Decontaminate _),
     "q45_repetition" -> (q45Repetition _),
     "q46_tz_normalize" -> (q46TzNormalize _),
-    "q47_two_wide_views" -> (q47TwoWideViews _))
+    "q47_two_wide_views" -> (q47TwoWideViews _),
+    "q48_hash_split" -> (q48HashSplit _),
+    "q49_mixture" -> (q49Mixture _))
 
   // ---- generated oracles for the hash-kernel queries -----------------------
   // Round 2 left q22/q23/q24/q26/q32/q39 rows-only because their outputs
@@ -858,6 +878,18 @@ object SparkEntry {
     "q26_multimodal" -> q26OracleSql,
     "q32_cosine_neardup" -> q32OracleSql,
     "q39_ann_ivf" -> q39OracleSql,
+    "q48_hash_split" -> (graft.functions.Mix61.oracleMacros +
+      """SELECT doc_id,
+        |  CASE WHEN mix61(doc_id, 42) % 1000000 < 800000 THEN 'train'
+        |       WHEN mix61(doc_id, 42) % 1000000 < 900000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin),
+    "q49_mixture" -> (graft.functions.Mix61.oracleMacros +
+      """SELECT doc_id, lang FROM documents
+        |WHERE mix61(doc_id, 7) % 1000000 <
+        |  CASE lang WHEN 'en' THEN 1000000 WHEN 'de' THEN 500000
+        |       WHEN 'fr' THEN 250000 WHEN 'es' THEN 100000
+        |       ELSE 50000 END""".stripMargin),
     "q47_two_wide_views" ->
       """WITH f1 AS (SELECT lang, doc_id AS src_doc, 1618185600 + doc_id*60 AS fe,
         |    list_transform(range(1, least(n_chars, 24) + 1),

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Mix61
+
+/** Deterministic sampling / splitting for training-data assembly, all keyed
+  * by the engine-portable [[Mix61]] hash of a row id — NOT Spark's
+  * `randomSplit`/`sample`, whose assignment depends on partitioning and RNG
+  * draw order. Hash-keyed assignment gives the three properties a 100 TB
+  * pipeline needs:
+  *
+  *  - reproducible across runs, cluster sizes, and engines (the DuckDB gate
+  *    replays the identical buckets);
+  *  - stable under repartitioning/backfill — a document keeps its split
+  *    forever, so train/test contamination cannot creep in when data is
+  *    re-ingested;
+  *  - pure projection/filter — no shuffle, no state, fully codegen'd.
+  *
+  * Row ids must be LONG (for string ids, pre-hash with
+  * `RollingHash.rolling_hash`). Buckets live on [0, 1e6): rates quantize to
+  * one part per million.
+  */
+object Sampling {
+
+  final val Buckets = 1000000L
+
+  /** The portable bucket of a row: mix61(id, seed) mod 1e6. */
+  def bucket(id: Column, seed: Long): Column =
+    pmod(Mix61.mix61(id, lit(seed)), lit(Buckets))
+
+  /** Train/val/test (or any n-way) split: appends a `split` column chosen by
+    * the id's bucket against the cumulative weight boundaries. Weights are
+    * normalized; every row is assigned (the last split absorbs rounding).
+    */
+  def hashSplit(
+      df: DataFrame,
+      idCol: String,
+      seed: Long,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "splits need positive weights")
+    val total = splits.map(_._2).sum
+    val bounds = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+      .tail.map(c => math.round(c * Buckets)) // cumulative integer boundaries
+    val b = bucket(col(idCol), seed)
+    val assigned = splits.init.zip(bounds.init).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), hi), acc) =>
+      when(b < lit(hi), lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", assigned)
+  }
+
+  /** Deterministic Bernoulli-by-hash sample at `rate` (quantized to 1e-6). */
+  def sampleByHash(df: DataFrame, idCol: String, rate: Double, seed: Long): DataFrame = {
+    require(rate >= 0 && rate <= 1, "rate in [0, 1]")
+    df.where(bucket(col(idCol), seed) < lit(math.round(rate * Buckets)))
+  }
+
+  /** Mixture sampling: per-group keep rates (the source/language weights of
+    * a training-data mixture, C4/Pile style). Groups absent from `rates`
+    * take `defaultRate`. One codegen'd filter — the scan prunes whole groups
+    * with rate 0 via the pushed predicate.
+    */
+  def mixture(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      rates: Map[String, Double],
+      seed: Long,
+      defaultRate: Double = 0.0): DataFrame = {
+    require((rates.values.toSeq :+ defaultRate).forall(r => r >= 0 && r <= 1),
+      "rates in [0, 1]")
+    val rateCol = rates.toSeq.sortBy(_._1).foldRight(lit(math.round(defaultRate * Buckets)): Column) {
+      case ((g, r), acc) => when(col(groupCol) === lit(g), lit(math.round(r * Buckets))).otherwise(acc)
+    }
+    df.where(bucket(col(idCol), seed) < rateCol)
+  }
+}
