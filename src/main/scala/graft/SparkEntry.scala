@@ -648,6 +648,26 @@ object SparkEntry {
       seed = 7L, defaultRate = 0.05)
       .select(col("doc_id"), col("lang"))
 
+  /** Near-dup clustering: connected components over the exact-Jaccard pair
+    * graph (hash-min propagation) — the step that turns pairwise matches
+    * into one-representative-per-cluster dedup.
+    */
+  private def q50Components(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccard(tbl(spark, dir, "documents"), "doc_id", "text",
+      n = 3, threshold = 0.05)
+    Dedup.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("comp").as("component"))
+  }
+
+  /** Corpus after near-duplicate removal: cluster representatives (min id)
+    * plus all never-matched docs.
+    */
+  private def q51DropNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.05)
+    Dedup.dropNearDuplicates(docs, "doc_id", pairs).select(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pit_asof" -> (q01PitAsof _),
     "q02_latest_per_key" -> (q02LatestPerKey _),
@@ -697,7 +717,9 @@ object SparkEntry {
     "q46_tz_normalize" -> (q46TzNormalize _),
     "q47_two_wide_views" -> (q47TwoWideViews _),
     "q48_hash_split" -> (q48HashSplit _),
-    "q49_mixture" -> (q49Mixture _))
+    "q49_mixture" -> (q49Mixture _),
+    "q50_components" -> (q50Components _),
+    "q51_drop_near_dups" -> (q51DropNearDups _))
 
   // ---- generated oracles for the hash-kernel queries -----------------------
   // Round 2 left q22/q23/q24/q26/q32/q39 rows-only because their outputs
@@ -713,6 +735,31 @@ object SparkEntry {
       |grams AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
       |          FROM words, UNNEST(range(1, len(w) - 1)) t(i)),
       |sh AS (SELECT DISTINCT doc_id, rh61(g) AS shingle FROM grams)""".stripMargin
+
+  /** Shared CTE chain for q50/q51: q14's exact-Jaccard pairs (string-shingle
+    * formulation — equivalent to the hashed one, proven by q14) plus the
+    * transitive closure as a recursive CTE; `comp` = min reachable id.
+    */
+  private val componentCtes: String =
+    s"""WITH RECURSIVE $shingleCtes,
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ix
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pairs AS (SELECT id1, id2 FROM inter JOIN sz s1 ON id1 = s1.doc_id JOIN sz s2 ON id2 = s2.doc_id
+      |          WHERE round(CAST(ix AS DOUBLE) / (s1.n + s2.n - ix), 6) >= 0.05),
+      |e2 AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
+      |r AS (SELECT a, b FROM e2 UNION SELECT r.a, e.b FROM r JOIN e2 e ON r.b = e.a),
+      |comp AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM r GROUP BY a)""".stripMargin
+
+  private def q50OracleSql: String =
+    graft.functions.Mix61.oracleMacros + componentCtes +
+      "\nSELECT doc_id, component FROM comp"
+
+  private def q51OracleSql: String =
+    graft.functions.Mix61.oracleMacros + componentCtes +
+      """
+        |SELECT d.doc_id FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)""".stripMargin
 
   private def q22OracleSql: String = {
     graft.functions.Mix61.oracleMacros +
@@ -884,6 +931,8 @@ object SparkEntry {
         |       WHEN mix61(doc_id, 42) % 1000000 < 900000 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin),
+    "q50_components" -> q50OracleSql,
+    "q51_drop_near_dups" -> q51OracleSql,
     "q49_mixture" -> (graft.functions.Mix61.oracleMacros +
       """SELECT doc_id, lang FROM documents
         |WHERE mix61(doc_id, 7) % 1000000 <

@@ -336,6 +336,65 @@ object Dedup {
     agg.select(col(idCol), fp.as("simhash"))
   }
 
+  /** Connected components over a near-duplicate pair list: every node gets
+    * `component` = the minimum id reachable through the pair graph — the
+    * clustering step every dedup pipeline runs after pair mining, so one
+    * representative per duplicate CLUSTER survives (pairwise removal alone
+    * over-deletes on chains a~b~c).
+    *
+    * Algorithm: hash-min label propagation — per iteration, each node takes
+    * min(own label, neighbors' labels); converges in graph-diameter
+    * iterations (near-dup graphs are shallow: dense cliques of rewrites,
+    * not long chains). Each iteration is ONE equi-join + ONE
+    * map-side-combinable min aggregate, both on (id, label) longs — at
+    * 100 TB this is the standard MapReduce-CC shape (cf. Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond" — large-star/small-star
+    * halves the iteration count and slots in here unchanged if diameters
+    * grow). The loop is driver-side with a per-iteration convergence count
+    * (an iterative algorithm needs an action per step); `localCheckpoint`
+    * truncates lineage so plans stay flat across iterations.
+    *
+    * @param pairs (id1, id2) rows; direction irrelevant.
+    * @return one row per node appearing in `pairs`: (id, component).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("b"), col("comp").as("nc")), Seq("b"))
+        .groupBy(col("a")).agg(min(col("nc")).as("nmin"))
+      val next = labels
+        .join(neighborMin.select(col("a").as("id"), col("nmin")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      changed = labels.select(col("id"), col("comp").as("prev"))
+        .join(next, Seq("id"))
+        .where(col("prev") =!= col("comp")).count()
+      labels = next
+      i += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxIter iterations")
+    labels
+  }
+
+  /** Corpus after near-duplicate removal: for each duplicate cluster
+    * (connected component of `pairs`), keep only the representative
+    * (minimum id); rows never appearing in a pair pass through.
+    */
+  def dropNearDuplicates(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .where(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** SimHash near-dup pairs with hamming distance <= maxHamming, found via
     * 4×15-bit block LSH (two fingerprints within hamming d<=3 share at least
     * one of 4 blocks exactly — pigeonhole over all 60 bits), then exact

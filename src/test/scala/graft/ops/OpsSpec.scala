@@ -196,6 +196,27 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: chains, stars, disjoint clusters, representative filter") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter test), star 10-{11,12,13}, singleton pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (10L, 13L), (20L, 21L)).toDF("id1", "id2")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
+    // long chain (diameter 40) still converges via hash-min propagation
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val chainComp = Dedup.connectedComponents(chain, maxIter = 50)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(chainComp == Set(0L))
+    // dropNearDuplicates keeps one representative per cluster + unmatched rows
+    val corpus = (1L to 25L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(corpus, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == ((1L to 25L).toSet -- Set(2L, 3L, 4L, 11L, 12L, 13L, 21L)))
+  }
+
   test("cosineNearDup: banded + corpus-scaled finds identical pairs; every pair verified") {
     val copies = vecs.take(8).map { case (i, v) => (i + 100L, v) }
     val df = (vecs ++ copies).toDF("vec_id", "embedding")
