@@ -668,6 +668,17 @@ object SparkEntry {
     Dedup.dropNearDuplicates(docs, "doc_id", pairs).select(col("doc_id"))
   }
 
+  /** Quality-based selection: top-10 docs per language by quality score
+    * (ties by doc id — deterministic), the "keep the best k per source"
+    * curation step.
+    */
+  private def q52TopKQuality(spark: SparkSession, dir: String): DataFrame =
+    Sampling.topKPerGroup(
+      tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          round(TextStats.qualityScore(col("text")), 6).as("quality")),
+      groupCol = "lang", orderCol = "quality", idCol = "doc_id", k = 10)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pit_asof" -> (q01PitAsof _),
     "q02_latest_per_key" -> (q02LatestPerKey _),
@@ -719,7 +730,8 @@ object SparkEntry {
     "q48_hash_split" -> (q48HashSplit _),
     "q49_mixture" -> (q49Mixture _),
     "q50_components" -> (q50Components _),
-    "q51_drop_near_dups" -> (q51DropNearDups _))
+    "q51_drop_near_dups" -> (q51DropNearDups _),
+    "q52_topk_quality" -> (q52TopKQuality _))
 
   // ---- generated oracles for the hash-kernel queries -----------------------
   // Round 2 left q22/q23/q24/q26/q32/q39 rows-only because their outputs
@@ -933,6 +945,18 @@ object SparkEntry {
         |FROM documents""".stripMargin),
     "q50_components" -> q50OracleSql,
     "q51_drop_near_dups" -> q51OracleSql,
+    "q52_topk_quality" ->
+      """WITH q AS (SELECT doc_id, lang,
+        |  round(
+        |    CASE WHEN len(string_split(text, ' ')) BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END
+        |    + CASE WHEN round(CAST(len(list_filter(string_split(lower(text), ' '),
+        |        x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'))) AS DOUBLE)
+        |        / len(string_split(text, ' ')), 6) >= 0.01 THEN 0.3 ELSE 0.0 END
+        |    + 0.3, 6) AS quality
+        |  FROM documents),
+        |rk AS (SELECT doc_id, lang, quality,
+        |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rn FROM q)
+        |SELECT doc_id, lang, quality FROM rk WHERE rn <= 10""".stripMargin,
     "q49_mixture" -> (graft.functions.Mix61.oracleMacros +
       """SELECT doc_id, lang FROM documents
         |WHERE mix61(doc_id, 7) % 1000000 <

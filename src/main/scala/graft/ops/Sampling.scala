@@ -57,6 +57,29 @@ object Sampling {
     df.where(bucket(col(idCol), seed) < lit(math.round(rate * Buckets)))
   }
 
+  /** Quality-based selection: the top `k` rows per group by `orderCol`
+    * descending, ties broken by ascending id (deterministic output). The
+    * standard curation step "keep the k highest-quality documents per
+    * source/language" — one window over a (group, score, id) projection;
+    * combine with [[graft.ops.TextStats]] scores upstream. For very hot
+    * groups at corpus scale, pre-aggregate with an approximate per-group
+    * threshold first; at k ≪ group size the window's in-partition sort is
+    * the cost, not a row explosion.
+    */
+  def topKPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      orderCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(orderCol).desc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Mixture sampling: per-group keep rates (the source/language weights of
     * a training-data mixture, C4/Pile style). Groups absent from `rates`
     * take `defaultRate`. One codegen'd filter — the scan prunes whole groups

@@ -164,6 +164,24 @@ object StreamFeatures {
       }
   }
 
+  /** Streaming exact dedup on content keys within the watermark horizon —
+    * `dropDuplicatesWithinWatermark`, the streaming counterpart of
+    * [[graft.ops.Dedup.exact]]: the first arrival of each key set wins,
+    * duplicates arriving within the watermark delay are dropped, and state
+    * for keys older than the watermark is evicted (bounded state — an
+    * unbounded-state streaming dedup dies at scale). Exactness holds for
+    * duplicates closer together than `watermarkDelay`; farther-apart
+    * duplicates are a batch job's business ([[graft.ops.Dedup.exact]]).
+    */
+  def dedupStream(
+      stream: DataFrame,
+      keyCols: Seq[String],
+      ts: String,
+      watermarkDelay: String): DataFrame =
+    stream
+      .withWatermark(ts, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Streaming latest-per-key materialization into an idempotent sink:
     * foreachBatch + batch latest-per-key, the streaming analogue of the
     * reference's online-store upsert (sqlite.py:76-128). Returned writer is

@@ -106,6 +106,31 @@ class StreamFeaturesSpec extends SparkSpec {
       b.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))))
   }
 
+  test("streaming dedup within watermark equals batch exact dedup") {
+    import spark.implicits._
+    val base = tsOf("2024-01-01T00:00:00Z").getTime
+    // 30 rows over 10 distinct (user_id, value) keys — duplicates arrive
+    // within minutes of each other (inside the 1h watermark horizon)
+    val rows = for (i <- 0 until 30) yield
+      Ev((i % 10).toLong, new Timestamp(base + i * 60000L), (i % 10).toDouble)
+    val mem = MemoryStream[Ev](spark)
+    mem.addData(rows: _*)
+    val out = StreamFeatures.dedupStream(
+      mem.toDF(), Seq("user_id", "value"), "ts", watermarkDelay = "1 hour")
+    val q = out.writeStream.format("memory").queryName("t_dedup")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("t_dedup")
+      .select("user_id", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    val batch = graft.ops.Dedup.exact(
+      rows.toDF().withColumn("k", concat_ws(":", col("user_id"), col("value"))),
+      "k", "user_id")
+    assert(streamed.size == 10) // one survivor per distinct key
+    assert(streamed.map(_._1).distinct.size == 10 && batch.count() == 10)
+  }
+
   test("binary Avro payloads decode through StreamSource (static + streaming)") {
     import spark.implicits._
     import org.apache.avro.Schema
