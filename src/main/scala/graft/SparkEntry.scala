@@ -679,6 +679,19 @@ object SparkEntry {
           round(TextStats.qualityScore(col("text")), 6).as("quality")),
       groupCol = "lang", orderCol = "quality", idCol = "doc_id", k = 10)
 
+  /** PII redaction over documents with synthetic injected PII (the fixture
+    * text has none — emails/IPs/long numbers are derived from doc_id so the
+    * masking is observable and exactly oracle-checked).
+    */
+  private def q53RedactPii(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents").select(
+      col("doc_id"),
+      TextStats.redactPii(concat(
+        substring(col("text"), 1, 40),
+        lit(" mail user"), col("doc_id").cast("string"),
+        lit("@example.com ip 10.1.2."), (col("doc_id") % 256).cast("string"),
+        lit(" acct "), (col("doc_id") * 9973 + 1000000).cast("string"))).as("redacted"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pit_asof" -> (q01PitAsof _),
     "q02_latest_per_key" -> (q02LatestPerKey _),
@@ -731,7 +744,8 @@ object SparkEntry {
     "q49_mixture" -> (q49Mixture _),
     "q50_components" -> (q50Components _),
     "q51_drop_near_dups" -> (q51DropNearDups _),
-    "q52_topk_quality" -> (q52TopKQuality _))
+    "q52_topk_quality" -> (q52TopKQuality _),
+    "q53_redact_pii" -> (q53RedactPii _))
 
   // ---- generated oracles for the hash-kernel queries -----------------------
   // Round 2 left q22/q23/q24/q26/q32/q39 rows-only because their outputs
@@ -945,6 +959,16 @@ object SparkEntry {
         |FROM documents""".stripMargin),
     "q50_components" -> q50OracleSql,
     "q51_drop_near_dups" -> q51OracleSql,
+    "q53_redact_pii" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    substr(text, 1, 40) || ' mail user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com ip 10.1.2.' || CAST(doc_id % 256 AS VARCHAR)
+        |      || ' acct ' || CAST(doc_id * 9973 + 1000000 AS VARCHAR),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{7,}\b', '<NUM>', 'g') AS redacted
+        |FROM documents""".stripMargin,
     "q52_topk_quality" ->
       """WITH q AS (SELECT doc_id, lang,
         |  round(

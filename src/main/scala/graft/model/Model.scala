@@ -101,6 +101,13 @@ object StreamFormat {
   final case class Json(schema: org.apache.spark.sql.types.StructType) extends StreamFormat
   final case class Csv(schema: org.apache.spark.sql.types.StructType) extends StreamFormat
   final case class Avro(schemaJson: String) extends StreamFormat
+  /** Declared for ADT parity with the reference (data_format.py:109-133
+    * ProtoFormat); decoding raises — no protobuf runtime ships with Spark's
+    * jars in this offline build (only shaded ORC/netty copies). The decode
+    * seam ([[graft.streaming.StreamFeatures.decode]]) is where
+    * `spark-protobuf`'s `from_protobuf` plugs in on a full cluster.
+    */
+  final case class Proto(messageClass: String) extends StreamFormat
 }
 
 /** Stream source descriptor (data_source.py:783-914 KafkaSource /

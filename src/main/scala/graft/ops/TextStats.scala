@@ -109,6 +109,21 @@ object TextStats {
   /** 61-bit rolling-hash document fingerprint (custom codegen Expression). */
   def fingerprint(text: Column): Column = RollingHash.rolling_hash(text)
 
+  /** PII scrub (the Pile/C4-style redaction pass): masks email addresses,
+    * IPv4 addresses, and long digit runs (phone/account numbers) with fixed
+    * placeholder tokens. Pure chained `regexp_replace` — codegen'd, no UDF —
+    * with patterns restricted to the regex-dialect intersection (character
+    * classes, bounded repetition, `\b`) so any engine reproduces them
+    * byte-for-byte; extend the chain for locale-specific shapes.
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ipv4 = regexp_replace(email,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    regexp_replace(ipv4, "\\b\\d{7,}\\b", "<NUM>")
+  }
+
   /** Convenience: full per-document stats frame. */
   def documentStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

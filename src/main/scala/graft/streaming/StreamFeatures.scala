@@ -56,6 +56,10 @@ object StreamFeatures {
         // real binary Avro decode on the core avro library (see AvroDecode —
         // the spark-avro connector's from_avro is not in this offline build)
         AvroDecode.decode(raw, schemaJson)
+      case StreamFormat.Proto(messageClass) =>
+        throw new UnsupportedOperationException(
+          s"Proto decode for '$messageClass' needs a protobuf runtime " +
+            "(spark-protobuf's from_protobuf); none ships in this offline build")
     }
     graft.model.FieldMapping(parsed.select(col("__graft_p.*")), source.fieldMapping)
   }

@@ -196,6 +196,20 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("redactPii masks emails, IPv4s, long digit runs; leaves prose intact") {
+    import spark.implicits._
+    val out = Seq(
+      "write to john.doe+spam@sub.example.co.uk today",
+      "server at 192.168.001.12 port 8080 acct 12345678 ok",
+      "short numbers 123 42 stay, year 2024 stays")
+      .toDF("text")
+      .select(TextStats.redactPii(col("text")).as("r"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "write to <EMAIL> today")
+    assert(out(1) == "server at <IP> port 8080 acct <NUM> ok")
+    assert(out(2) == "short numbers 123 42 stay, year 2024 stays")
+  }
+
   test("connectedComponents: chains, stars, disjoint clusters, representative filter") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter test), star 10-{11,12,13}, singleton pair 20-21

@@ -189,6 +189,11 @@ class StreamFeaturesSpec extends SparkSpec {
         "10 minutes", watermarkDelay = "1 hour", valueCol = "v"),
       "t_avro")
     assert(got.count() == 2) // one window row per uid
+    // Proto stays a declared-but-undecodable format offline: the seam errors
+    intercept[UnsupportedOperationException] {
+      StreamFeatures.decode(payloads.toDF("value"),
+        source.copy(format = graft.model.StreamFormat.Proto("my.Msg")))
+    }
   }
 
   test("flatMapGroupsWithState as-of enrichment equals the batch as-of join") {
