@@ -692,6 +692,39 @@ object SparkEntry {
         lit("@example.com ip 10.1.2."), (col("doc_id") % 256).cast("string"),
         lit(" acct "), (col("doc_id") * 9973 + 1000000).cast("string"))).as("redacted"))
 
+  /** Line-level corpus dedup (the CCNet/RefinedWeb pass): the fixture text is
+    * single-line, so the gate first re-chunks each document into 5-word lines
+    * (deterministically, mirrored in the oracle), then keeps exactly one
+    * corpus-wide copy of every line and reassembles the survivors.
+    */
+  private def q54LineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val nChunks = ceil(size(words).cast("double") / 5).cast("int")
+    val mtext = concat_ws("\n", transform(sequence(lit(0), nChunks - 1),
+      i => concat_ws(" ", slice(words, i * 5 + 1, lit(5)))))
+    val prepared = tbl(spark, dir, "documents").select(col("doc_id"), mtext.as("text"))
+    Dedup.lineDedup(prepared, "doc_id", "text")
+  }
+
+  /** Gopher-style rule filter: per-rule 0/1 indicators + conjunction, all
+    * inside the scan stage's codegen. Thresholds chosen to split the fixture
+    * (word count 10–99, unique ratio 0.28–1.0, stopword ratio 0–0.22).
+    */
+  private def q55GopherFilter(spark: SparkSession, dir: String): DataFrame = {
+    val rules = TextStats.gopherRules(col("text"),
+      minWords = 20, maxWords = 100000,
+      minMeanWordLen = 3.0, maxMeanWordLen = 4.6,
+      minUniqueRatio = 0.45, minStopwordRatio = 0.05, maxPunctRatio = 0.2)
+    tbl(spark, dir, "documents").select(
+      col("doc_id") +: rules.map { case (name, c) => c.as(name) }: _*)
+  }
+
+  /** Corpus-statistics keyword extraction: top-5 TF-IDF terms per document
+    * (broadcast df join, no driver collect).
+    */
+  private def q56TfidfTerms(spark: SparkSession, dir: String): DataFrame =
+    TextStats.tfIdfTopTerms(tbl(spark, dir, "documents"), "doc_id", "text", k = 5)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pit_asof" -> (q01PitAsof _),
     "q02_latest_per_key" -> (q02LatestPerKey _),
@@ -745,7 +778,10 @@ object SparkEntry {
     "q50_components" -> (q50Components _),
     "q51_drop_near_dups" -> (q51DropNearDups _),
     "q52_topk_quality" -> (q52TopKQuality _),
-    "q53_redact_pii" -> (q53RedactPii _))
+    "q53_redact_pii" -> (q53RedactPii _),
+    "q54_line_dedup" -> (q54LineDedup _),
+    "q55_gopher_filter" -> (q55GopherFilter _),
+    "q56_tfidf_terms" -> (q56TfidfTerms _))
 
   // ---- generated oracles for the hash-kernel queries -----------------------
   // Round 2 left q22/q23/q24/q26/q32/q39 rows-only because their outputs
@@ -959,6 +995,63 @@ object SparkEntry {
         |FROM documents""".stripMargin),
     "q50_components" -> q50OracleSql,
     "q51_drop_near_dups" -> q51OracleSql,
+    // q54: the oracle keys keep-first on the line STRING where the engine
+    // keys on its 61-bit rolling hash — identical absent hash collisions,
+    // which the fixture (and any real corpus at these cardinalities) lacks.
+    "q54_line_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |mt AS (SELECT doc_id, array_to_string(list_transform(
+        |    range(0, CAST(ceil(len(w) / 5.0) AS INT)),
+        |    i -> array_to_string(w[CAST(i*5+1 AS INT) : CAST(i*5+5 AS INT)], ' ')), chr(10)) AS mtext
+        |  FROM w),
+        |lines AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, UNNEST(l) AS line
+        |  FROM (SELECT doc_id, string_split(mtext, chr(10)) AS l FROM mt)),
+        |kept AS (SELECT doc_id, pos, line,
+        |  ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn FROM lines),
+        |reb AS (SELECT doc_id, count(*) AS n_kept,
+        |  string_agg(line, chr(10) ORDER BY pos) AS text_dedup
+        |  FROM kept WHERE rn = 1 GROUP BY doc_id)
+        |SELECT m.doc_id, CAST(len(string_split(mtext, chr(10))) AS BIGINT) AS n_lines,
+        |  CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+        |  COALESCE(text_dedup, '') AS text_dedup
+        |FROM mt m LEFT JOIN reb USING (doc_id)""".stripMargin,
+    "q55_gopher_filter" ->
+      """WITH s AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+        |  round(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+        |    / len(string_split(text, ' ')), 6) AS mwl,
+        |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' ')), 6) AS uniq,
+        |  round(CAST(len(list_filter(string_split(lower(text), ' '),
+        |      x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'))) AS DOUBLE)
+        |    / len(string_split(text, ' ')), 6) AS stop,
+        |  round((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+        |    / CAST(length(text) AS DOUBLE), 6) AS punct
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN nw BETWEEN 20 AND 100000 THEN 1 ELSE 0 END AS words_ok,
+        |  CASE WHEN mwl BETWEEN 3.0 AND 4.6 THEN 1 ELSE 0 END AS mean_len_ok,
+        |  CASE WHEN uniq >= 0.45 THEN 1 ELSE 0 END AS unique_ok,
+        |  CASE WHEN stop >= 0.05 THEN 1 ELSE 0 END AS stop_ok,
+        |  CASE WHEN punct <= 0.2 THEN 1 ELSE 0 END AS punct_ok,
+        |  (CASE WHEN nw BETWEEN 20 AND 100000 THEN 1 ELSE 0 END)
+        |    * (CASE WHEN mwl BETWEEN 3.0 AND 4.6 THEN 1 ELSE 0 END)
+        |    * (CASE WHEN uniq >= 0.45 THEN 1 ELSE 0 END)
+        |    * (CASE WHEN stop >= 0.05 THEN 1 ELSE 0 END)
+        |    * (CASE WHEN punct <= 0.2 THEN 1 ELSE 0 END) AS pass
+        |FROM s""".stripMargin,
+    "q56_tfidf_terms" ->
+      """WITH terms AS (SELECT doc_id, UNNEST(list_filter(
+        |    string_split(lower(trim(text)), ' '), x -> x <> '')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT doc_id, term, tf, df,
+        |  round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+        |  FROM tf JOIN dfr USING (term) CROSS JOIN n),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |  ORDER BY tfidf DESC, term ASC) AS rank FROM s)
+        |SELECT doc_id, term, tf, df, tfidf, rank FROM r WHERE rank <= 5""".stripMargin,
     "q53_redact_pii" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(

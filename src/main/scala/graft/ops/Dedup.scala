@@ -395,6 +395,50 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Line-level exact dedup with reassembly (the CCNet / RefinedWeb
+    * "remove duplicated lines across the corpus" pass): every line keeps
+    * exactly one copy corpus-wide — the occurrence with the smallest
+    * (id, position) — and each document is reassembled from its surviving
+    * lines in original order. Duplicate lines WITHIN a document collapse to
+    * their first occurrence too.
+    *
+    * Shape: posexplode to (id, pos, line) rows, key by the portable
+    * [[graft.functions.RollingHash]] of the line, keep-first with ONE
+    * row_number window over the line hash, regroup by document. Two
+    * shuffles total, both on narrow single-line rows — the full document
+    * text never rides an exchange, and the window's per-key group is the
+    * duplication count of one line (bounded by construction for real
+    * corpora; a pathological boilerplate line is one hot key — the same
+    * salting calculus as the as-of join applies, but keep-first needs the
+    * global minimum anyway, which the window's partial sort delivers
+    * without materializing the group).
+    *
+    * Documents whose every line was claimed elsewhere surface with
+    * `n_kept = 0` and empty text (left join back onto the input ids).
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String, sep: String = "\n"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .select(col(idCol), col("pos"), col("col").as("__line"),
+        graft.functions.RollingHash.rolling_hash(col("col")).as("__h"))
+    val w = Window.partitionBy(col("__h")).orderBy(col(idCol).asc, col("pos").asc)
+    val kept = lines
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(sep, transform(
+        array_sort(collect_list(struct(col("pos"), col("__line")))),
+        s => s.getField("__line"))).as("text_dedup"))
+    df.select(col(idCol),
+        (size(split(col(textCol), java.util.regex.Pattern.quote(sep)))).cast("long").as("n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
   /** SimHash near-dup pairs with hamming distance <= maxHamming, found via
     * 4×15-bit block LSH (two fingerprints within hamming d<=3 share at least
     * one of 4 blocks exactly — pigeonhole over all 60 bits), then exact

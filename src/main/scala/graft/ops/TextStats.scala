@@ -106,6 +106,71 @@ object TextStats {
       round((size(grams) - size(array_distinct(grams))).cast("double") / size(grams), 6))
   }
 
+  /** Fraction of whitespace words that are distinct — low values flag
+    * template/boilerplate text (a Gopher-family signal). Pure expression.
+    */
+  def uniqueWordRatio(text: Column): Column = {
+    val words = split(trim(text), "\\s+")
+    when(size(words) === 0, lit(0.0)).otherwise(
+      round(size(array_distinct(words)).cast("double") / size(words), 6))
+  }
+
+  /** Gopher-style rule filter (Rae et al. 2021 §A1.1 family, thresholds are
+    * caller knobs): per-rule 0/1 indicator columns plus the conjunction.
+    * Everything is a pure column expression over one pass of the text, so
+    * the whole filter runs inside the scan stage's codegen — the canonical
+    * first stage of a 100 TB curation pipeline (prune before any shuffle).
+    * Indicators are INTs, not booleans, so cross-engine gate hashing is
+    * byte-stable.
+    */
+  def gopherRules(
+      text: Column,
+      minWords: Long = 50,
+      maxWords: Long = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      minUniqueRatio: Double = 0.3,
+      minStopwordRatio: Double = 0.01,
+      maxPunctRatio: Double = 0.2): Seq[(String, Column)] = {
+    def ind(c: Column) = when(c, lit(1)).otherwise(lit(0))
+    val rules = Seq(
+      "words_ok" -> ind(tokenCount(text).between(minWords, maxWords)),
+      "mean_len_ok" -> ind(meanWordLen(text).between(minMeanWordLen, maxMeanWordLen)),
+      "unique_ok" -> ind(uniqueWordRatio(text) >= minUniqueRatio),
+      "stop_ok" -> ind(stopwordRatio(text) >= minStopwordRatio),
+      "punct_ok" -> ind(punctRatio(text) <= maxPunctRatio))
+    rules :+ ("pass" -> rules.map(_._2).reduce[Column]((a, b) => a * b))
+  }
+
+  /** Top-k terms per document by TF-IDF, the classic corpus-statistics
+    * keyword extractor. Fully declarative: words explode to (doc, term)
+    * rows, tf and df are map-side-combinable aggregations, N is a 1-row
+    * aggregate broadcast-crossed onto the term frame (no driver collect),
+    * and idf = ln(N / df) joins back onto term occurrences BY TERM — the
+    * df table is tiny relative to the corpus (vocabulary-sized) and
+    * broadcastable; ranking is one window per doc. Scores round to 6
+    * decimals BEFORE ranking so ordering is reproducible cross-engine
+    * (ln differs by ulps between libms).
+    */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = df.select(col(idCol),
+        explode(filter(split(lower(trim(col(textCol))), "\\s+"), w => length(w) > 0)).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.select(count(lit(1)).as("__n"))
+    val scored = tf
+      .join(broadcast(docFreq), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("__n").cast("double") / col("df")), 6))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("__rn").cast("long").as("rank"))
+  }
+
   /** 61-bit rolling-hash document fingerprint (custom codegen Expression). */
   def fingerprint(text: Column): Column = RollingHash.rolling_hash(text)
 

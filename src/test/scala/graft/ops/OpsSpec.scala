@@ -399,4 +399,70 @@ class OpsSpec extends SparkSpec {
     assert(out(1L)._3 == out(2L)._3)
     assert(out(1L)._3 != out(4L)._3)
   }
+
+  test("lineDedup matches a naive keep-first oracle and reassembles in order") {
+    val multi = Seq(
+      (1L, "alpha beta\ncommon line\ngamma delta"),
+      (2L, "common line\nunique two\ncommon line"), // cross-doc + within-doc dup
+      (3L, "unique three\ncommon line"),
+      (4L, "common line"), // every line claimed elsewhere -> empty doc
+      (5L, "alpha beta\nalpha beta")) // within-doc dup of a claimed line
+      .toDF("doc_id", "text")
+    // naive oracle: global keep-first by (doc_id, pos), then reassemble
+    val input = multi.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val seen = scala.collection.mutable.Set[String]()
+    val expected = input.toSeq.sortBy(_._1).map { case (id, text) =>
+      val lines = text.split("\n", -1)
+      val kept = lines.filter(l => seen.add(l))
+      id -> ((lines.length.toLong, kept.length.toLong, kept.mkString("\n")))
+    }.toMap
+    val got = Dedup.lineDedup(multi, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got == expected)
+    assert(got(4L) == ((1L, 0L, ""))) // fully-claimed doc surfaces empty, not dropped
+    assert(got(2L)._3 == "unique two") // doc 1 claimed "common line" first
+  }
+
+  test("gopherRules indicators and conjunction match hand-computed values") {
+    val texts = Seq(
+      (1L, "the cat and the dog ran to the big park with a friend today again"), // passes all (15 words, stopwords)
+      (2L, "word word word word word word word word word word word word"), // fails unique ratio + stopwords
+      (3L, "hi")) // fails min words
+      .toDF("doc_id", "text")
+    val out = texts.select(col("doc_id") +:
+        TextStats.gopherRules(col("text"), minWords = 10, maxWords = 100,
+          minMeanWordLen = 1.0, maxMeanWordLen = 10.0, minUniqueRatio = 0.5,
+          minStopwordRatio = 0.05, maxPunctRatio = 0.2).map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6))).toMap
+    assert(out(1L) == ((1, 1, 1, 1, 1, 1)))
+    assert(out(2L) == ((1, 1, 0, 0, 1, 0))) // 12/12 repeats: unique 1/12, no stopwords
+    assert(out(3L) == ((0, 1, 1, 0, 1, 0))) // 1 word < 10
+  }
+
+  test("tfIdfTopTerms matches a naive driver-side tf-idf") {
+    val corpus = Seq(
+      (1L, "spark shuffle spark join"),
+      (2L, "spark catalyst optimizer"),
+      (3L, "parquet columnar files"))
+      .toDF("doc_id", "text")
+    val n = 3.0
+    val local = corpus.collect().map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val dfCount = local.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size).toMap
+    val expected = local.flatMap { case (id, words) =>
+      words.groupBy(identity).map { case (t, occ) =>
+        val score = math.rint(occ.size * math.log(n / dfCount(t)) * 1e6) / 1e6
+        (id, t) -> ((occ.size.toLong, dfCount(t).toLong, score))
+      }
+    }
+    val got = TextStats.tfIdfTopTerms(corpus, "doc_id", "text", k = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == expected)
+    // ranking: doc 1's top term is the tf=2 corpus-rare 'shuffle'... spark has df=2
+    val top1 = TextStats.tfIdfTopTerms(corpus, "doc_id", "text", k = 1)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(5))).toMap
+    assert(top1(1L)._2 == 1L)
+    assert(top1(3L)._1 == "columnar") // all df=1 ties at tf=1 -> lexicographic
+  }
 }
