@@ -88,26 +88,53 @@ final case class BatchSource(
     fieldMapping: Map[String, String] = Map.empty,
     datePartitionColumn: Option[String] = None)
 
+/** Scalar/array field types for the registry-level protobuf message
+  * descriptor (the engine's stand-in for the reference's compiled message
+  * class, data_format.py:109-133 ProtoFormat). Wire-format mapping follows
+  * the public protobuf encoding spec: varint (wire type 0), fixed 64/32
+  * (1/5), length-delimited (2).
+  */
+sealed trait ProtoType
+object ProtoType {
+  case object Int32 extends ProtoType // varint
+  case object Int64 extends ProtoType // varint
+  case object SInt32 extends ProtoType // varint, zigzag
+  case object SInt64 extends ProtoType // varint, zigzag
+  case object Bool extends ProtoType // varint
+  case object Fixed64 extends ProtoType // 8-byte LE
+  case object DoubleT extends ProtoType // 8-byte LE
+  case object Fixed32 extends ProtoType // 4-byte LE
+  case object FloatT extends ProtoType // 4-byte LE
+  case object StringT extends ProtoType // length-delimited UTF-8
+  case object BytesT extends ProtoType // length-delimited
+  case object RepInt32 extends ProtoType // repeated int32, packed or not
+  case object RepInt64 extends ProtoType // repeated int64, packed or not
+}
+
+/** One field of a flat proto message: tag number, output column name, type. */
+final case class ProtoField(number: Int, name: String, ptype: ProtoType)
+
 /** Payload format of a stream source (data_format.py:69-133 StreamFormat:
   * Avro/Proto/Json). Json and Csv decode with built-in `from_json` /
-  * `from_csv`; Avro requires the spark-avro module (not shipped in this
-  * offline sandbox), so the ADT carries the schema string as the
-  * registry-level contract and decoding raises until the jar is present —
-  * the same boundary the reference draws (format metadata in the registry,
-  * decode at ingestion).
+  * `from_csv`; Avro decodes on the core avro library
+  * ([[graft.streaming.AvroDecode]] — the spark-avro connector is not in
+  * this offline build); Proto decodes with a from-scratch wire-format
+  * reader ([[graft.streaming.ProtoDecode]]) driven by a declared
+  * [[ProtoField]] descriptor — the registry carries the format metadata,
+  * ingestion does the decode, the same boundary the reference draws.
   */
 sealed trait StreamFormat
 object StreamFormat {
   final case class Json(schema: org.apache.spark.sql.types.StructType) extends StreamFormat
   final case class Csv(schema: org.apache.spark.sql.types.StructType) extends StreamFormat
   final case class Avro(schemaJson: String) extends StreamFormat
-  /** Declared for ADT parity with the reference (data_format.py:109-133
-    * ProtoFormat); decoding raises — no protobuf runtime ships with Spark's
-    * jars in this offline build (only shaded ORC/netty copies). The decode
-    * seam ([[graft.streaming.StreamFeatures.decode]]) is where
-    * `spark-protobuf`'s `from_protobuf` plugs in on a full cluster.
+  /** Proto message descriptor: `messageClass` is registry metadata (parity
+    * with the reference's ProtoFormat class name); `fields` drives the
+    * wire-format decode. With no declared fields decoding raises — that is
+    * the seam where a compiled-class runtime (spark-protobuf
+    * `from_protobuf`) would plug in on a cluster that ships it.
     */
-  final case class Proto(messageClass: String) extends StreamFormat
+  final case class Proto(messageClass: String, fields: Seq[ProtoField] = Nil) extends StreamFormat
 }
 
 /** Stream source descriptor (data_source.py:783-914 KafkaSource /

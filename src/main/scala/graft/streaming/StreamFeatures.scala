@@ -56,10 +56,15 @@ object StreamFeatures {
         // real binary Avro decode on the core avro library (see AvroDecode —
         // the spark-avro connector's from_avro is not in this offline build)
         AvroDecode.decode(raw, schemaJson)
-      case StreamFormat.Proto(messageClass) =>
-        throw new UnsupportedOperationException(
-          s"Proto decode for '$messageClass' needs a protobuf runtime " +
-            "(spark-protobuf's from_protobuf); none ships in this offline build")
+      case StreamFormat.Proto(messageClass, fields) =>
+        // from-scratch wire-format decode driven by the declared descriptor
+        // (see ProtoDecode); without one there is nothing to decode against
+        if (fields.isEmpty)
+          throw new UnsupportedOperationException(
+            s"Proto decode for '$messageClass' needs a declared field " +
+              "descriptor (StreamFormat.Proto(messageClass, fields)) — no " +
+              "compiled-class protobuf runtime ships in this offline build")
+        else ProtoDecode.decode(raw, fields)
     }
     graft.model.FieldMapping(parsed.select(col("__graft_p.*")), source.fieldMapping)
   }
