@@ -725,6 +725,13 @@ object SparkEntry {
   private def q56TfidfTerms(spark: SparkSession, dir: String): DataFrame =
     TextStats.tfIdfTopTerms(tbl(spark, dir, "documents"), "doc_id", "text", k = 5)
 
+  /** Per-source corpus summary with EXACT interpolated percentiles (the
+    * approx=true t-digest variant is the 100 TB path; exact here so DuckDB
+    * quantile_cont can oracle the numbers).
+    */
+  private def q57CorpusStats(spark: SparkSession, dir: String): DataFrame =
+    TextStats.corpusStats(tbl(spark, dir, "documents"), "source", "text", "n_chars")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pit_asof" -> (q01PitAsof _),
     "q02_latest_per_key" -> (q02LatestPerKey _),
@@ -781,7 +788,8 @@ object SparkEntry {
     "q53_redact_pii" -> (q53RedactPii _),
     "q54_line_dedup" -> (q54LineDedup _),
     "q55_gopher_filter" -> (q55GopherFilter _),
-    "q56_tfidf_terms" -> (q56TfidfTerms _))
+    "q56_tfidf_terms" -> (q56TfidfTerms _),
+    "q57_corpus_stats" -> (q57CorpusStats _))
 
   // ---- generated oracles for the hash-kernel queries -----------------------
   // Round 2 left q22/q23/q24/q26/q32/q39 rows-only because their outputs
@@ -1052,6 +1060,12 @@ object SparkEntry {
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
         |  ORDER BY tfidf DESC, term ASC) AS rank FROM s)
         |SELECT doc_id, term, tf, df, tfidf, rank FROM r WHERE rank <= 5""".stripMargin,
+    "q57_corpus_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        |  round(avg(n_chars), 6) AS avg_chars,
+        |  round(quantile_cont(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.5), 6) AS med_tokens,
+        |  round(quantile_cont(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.95), 6) AS p95_tokens
+        |FROM documents GROUP BY source""".stripMargin,
     "q53_redact_pii" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(

@@ -171,6 +171,32 @@ object TextStats {
         col("tfidf"), col("__rn").cast("long").as("rank"))
   }
 
+  /** Per-group corpus statistics: document count, mean char length, and
+    * token-count percentiles — the summary a curation run reports per
+    * source/shard. One map-side-combinable shuffle for count/avg; the
+    * percentiles are EXACT (Spark's interpolating `percentile`, =
+    * quantile_cont semantics) when `approx = false` so the gate can oracle
+    * them, and t-digest `approx_percentile` when `approx = true` — the
+    * 100 TB path, where exact percentile's per-group value buffering is the
+    * known memory hazard and a 1e-4-accuracy sketch is the right trade.
+    */
+  def corpusStats(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      charsCol: String,
+      approx: Boolean = false): DataFrame = {
+    val toks = tokenCount(col(textCol)).cast("double")
+    def pct(p: Double) =
+      if (approx) approx_percentile(toks, lit(p), lit(10000)).cast("double")
+      else percentile(toks, lit(p))
+    df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_docs"),
+      round(avg(col(charsCol)), 6).as("avg_chars"),
+      round(pct(0.5), 6).as("med_tokens"),
+      round(pct(0.95), 6).as("p95_tokens"))
+  }
+
   /** 61-bit rolling-hash document fingerprint (custom codegen Expression). */
   def fingerprint(text: Column): Column = RollingHash.rolling_hash(text)
 

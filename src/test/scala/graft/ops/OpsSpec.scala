@@ -440,6 +440,37 @@ class OpsSpec extends SparkSpec {
     assert(out(3L) == ((0, 1, 1, 0, 1, 0))) // 1 word < 10
   }
 
+  test("corpusStats exact percentiles match a naive interpolated quantile") {
+    val rnd = new scala.util.Random(7L)
+    val corpus = (0L until 60L).map { i =>
+      val grp = if (i % 3 == 0) "web" else "book"
+      val nWords = rnd.nextInt(40) + 3
+      (i, grp, Seq.fill(nWords)("w").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+      .withColumn("n_chars", length(col("text")))
+    def naiveQuantile(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted
+      val rank = p * (s.size - 1)
+      val lo = math.floor(rank).toInt; val hi = math.ceil(rank).toInt
+      math.rint((s(lo) + (s(hi) - s(lo)) * (rank - lo)) * 1e6) / 1e6
+    }
+    val byGrp = corpus.collect()
+      .map(r => r.getString(1) -> r.getString(2).split(" ").length.toDouble)
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val got = TextStats.corpusStats(corpus, "source", "text", "n_chars")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(3), r.getDouble(4)))).toMap
+    for ((g, xs) <- byGrp) {
+      assert(got(g)._1 == xs.size.toLong)
+      assert(math.abs(got(g)._2 - naiveQuantile(xs, 0.5)) < 1e-9, s"$g median")
+      assert(math.abs(got(g)._3 - naiveQuantile(xs, 0.95)) < 1e-9, s"$g p95")
+    }
+    // the scale path: approx percentiles land within the integer value grid
+    val apx = TextStats.corpusStats(corpus, "source", "text", "n_chars", approx = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    for ((g, xs) <- byGrp)
+      assert(math.abs(apx(g) - naiveQuantile(xs, 0.5)) <= 2.0, s"$g approx median")
+  }
+
   test("tfIdfTopTerms matches a naive driver-side tf-idf") {
     val corpus = Seq(
       (1L, "spark shuffle spark join"),
