@@ -732,6 +732,25 @@ object SparkEntry {
   private def q57CorpusStats(spark: SparkSession, dir: String): DataFrame =
     TextStats.corpusStats(tbl(spark, dir, "documents"), "source", "text", "n_chars")
 
+  /** Product-quantization encode: 64-dim float vectors → 4 codes (16
+    * centroids per subspace, deterministic lowest-id seeding). Codes digest
+    * to a string for the gate (no array outputs).
+    */
+  private def q58PqEncode(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 4, k = 16)
+    Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+      .select(col("vec_id"), concat_ws(",", col("codes")).as("codes_str"))
+  }
+
+  /** PQ asymmetric-distance top-5 for the first 32 vectors as queries. */
+  private def q59PqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 4, k = 16)
+    Similarity.pqTopK(emb, emb.where(col("vec_id") < 32), "vec_id", "embedding",
+      k = 5, codebooks = cb)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pit_asof" -> (q01PitAsof _),
     "q02_latest_per_key" -> (q02LatestPerKey _),
@@ -789,7 +808,9 @@ object SparkEntry {
     "q54_line_dedup" -> (q54LineDedup _),
     "q55_gopher_filter" -> (q55GopherFilter _),
     "q56_tfidf_terms" -> (q56TfidfTerms _),
-    "q57_corpus_stats" -> (q57CorpusStats _))
+    "q57_corpus_stats" -> (q57CorpusStats _),
+    "q58_pq_encode" -> (q58PqEncode _),
+    "q59_pq_adc" -> (q59PqAdc _))
 
   // ---- generated oracles for the hash-kernel queries -----------------------
   // Round 2 left q22/q23/q24/q26/q32/q39 rows-only because their outputs
@@ -1066,6 +1087,49 @@ object SparkEntry {
         |  round(quantile_cont(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.5), 6) AS med_tokens,
         |  round(quantile_cont(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.95), 6) AS p95_tokens
         |FROM documents GROUP BY source""".stripMargin,
+    // q58/q59: PQ assignment replayed relationally — centroid j of subspace
+    // s is the (j+1)-lowest-id vector's dims [s*16, (s+1)*16); double
+    // widening before subtraction matches the engine exactly, sum-order ulps
+    // are absorbed by round-before-rank (q59) / well-separated argmins (q58)
+    "q58_pq_encode" ->
+      """WITH flat AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    UNNEST(embedding) AS v FROM embeddings),
+        |cents AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cnum
+        |          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |cflat AS (SELECT c.cnum, f.i, f.v FROM cents c JOIN flat f ON f.vec_id = c.vec_id),
+        |d AS (SELECT f.vec_id, CAST((f.i - 1) // 16 AS INT) AS s, c.cnum,
+        |        SUM((CAST(f.v AS DOUBLE) - c.v) * (CAST(f.v AS DOUBLE) - c.v)) AS dd
+        |      FROM flat f JOIN cflat c ON c.i = f.i
+        |      GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, s, cnum AS code,
+        |        ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dd, cnum) AS rn FROM d)
+        |SELECT vec_id, array_to_string(list(code ORDER BY s), ',') AS codes_str
+        |FROM codes WHERE rn = 1 GROUP BY vec_id""".stripMargin,
+    "q59_pq_adc" ->
+      """WITH flat AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    UNNEST(embedding) AS v FROM embeddings),
+        |cents AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cnum
+        |          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |cflat AS (SELECT c.cnum, f.i, f.v FROM cents c JOIN flat f ON f.vec_id = c.vec_id),
+        |d AS (SELECT f.vec_id, CAST((f.i - 1) // 16 AS INT) AS s, c.cnum,
+        |        SUM((CAST(f.v AS DOUBLE) - c.v) * (CAST(f.v AS DOUBLE) - c.v)) AS dd
+        |      FROM flat f JOIN cflat c ON c.i = f.i
+        |      GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, s, cnum AS code,
+        |        ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dd, cnum) AS rn FROM d),
+        |qd AS (SELECT qf.vec_id AS query_id, cd.vec_id AS neighbor_id,
+        |        SUM((CAST(qf.v AS DOUBLE) - cf.v) * (CAST(qf.v AS DOUBLE) - cf.v)) AS dd
+        |      FROM flat qf
+        |      JOIN cflat cf ON cf.i = qf.i
+        |      JOIN codes cd ON cd.rn = 1 AND cd.s = CAST((qf.i - 1) // 16 AS INT)
+        |        AND cd.code = cf.cnum
+        |      WHERE qf.vec_id < 32 AND cd.vec_id <> qf.vec_id
+        |      GROUP BY 1, 2),
+        |rk AS (SELECT query_id, neighbor_id, round(dd, 4) AS dist,
+        |        ROW_NUMBER() OVER (PARTITION BY query_id
+        |          ORDER BY round(dd, 4), neighbor_id) AS rank FROM qd)
+        |SELECT query_id, neighbor_id, dist, CAST(rank AS INT) AS rank
+        |FROM rk WHERE rank <= 5""".stripMargin,
     "q53_redact_pii" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(

@@ -279,4 +279,102 @@ object Similarity {
       .where(col("cos") >= threshold)
       .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
   }
+
+  // -- Product quantization (Jégou/Douze/Schmid, TPAMI 2011) -------------
+
+  /** Deterministic PQ codebooks `[subspace][centroid][dim]`: subspace s's k
+    * centroids are the k lowest-id corpus vectors' s-th contiguous
+    * sub-slices — the same no-RNG seeding contract as [[ivfTopK]] (swap in
+    * per-subspace Lloyd offline; nothing downstream changes). Planning-time
+    * collect of k rows, the documented driver-side-scalar class.
+    */
+  def pqCodebooks(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      k: Int): Seq[Seq[Seq[Float]]] = {
+    val seeds = corpus.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(k).collect()
+      .map(_.getSeq[Float](1).toIndexedSeq)
+    val d = seeds.head.length
+    require(d % m == 0, s"dim $d not divisible into $m subspaces")
+    val sub = d / m
+    (0 until m).map(s => seeds.map(v => v.slice(s * sub, (s + 1) * sub): Seq[Float]).toSeq)
+  }
+
+  /** Squared L2 between a (float) sub-vector column and a literal centroid:
+    * widen to double BEFORE subtracting (exact for floats), accumulate in
+    * index order — bit-reproducible cross-engine.
+    */
+  private def l2sq(a: Column, cvec: Seq[Float]): Column =
+    aggregate(
+      zip_with(a, typedLit(cvec),
+        (x, c) => (x.cast("double") - c.cast("double")) * (x.cast("double") - c.cast("double"))),
+      lit(0.0), (acc, z) => acc + z)
+
+  /** PQ-encode every vector to an m-byte code array: per subspace, argmin
+    * squared-L2 over the literal codebook (first index wins exact ties —
+    * same tie rule as ROW_NUMBER ORDER BY dist, code). A pure PROJECTION,
+    * exactly like [[ivfTopK]]'s cell assignment: each row computes m×k
+    * distances inside one codegen'd expression — no join, no row expansion.
+    * At 100 TB this replaces a 256-byte float vector with m bytes — the
+    * point of PQ — and the encode pass is embarrassingly parallel.
+    */
+  def pqEncode(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: Seq[Seq[Seq[Float]]]): DataFrame = {
+    val m = codebooks.size
+    val sub = codebooks.head.head.size
+    val codes = array((0 until m).map { s =>
+      val slc = slice(col(vecCol), s * sub + 1, sub)
+      val dists = codebooks(s).map(cvec => l2sq(slc, cvec))
+      val best = if (dists.size == 1) dists.head else least(dists: _*)
+      dists.zipWithIndex.foldRight(lit(-1)) { case ((d, j), acc) =>
+        when(d === best, lit(j)).otherwise(acc)
+      }
+    }: _*)
+    corpus.select(col(idCol), codes.as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k: the corpus is scanned as m-byte codes
+    * only; each query computes its exact sub-distances to every codebook
+    * centroid and scores a row by summing the table entries its codes
+    * select. Queries broadcast (or shuffle-join when too many); distances
+    * round to 4 decimals BEFORE ranking so ordering is reproducible
+    * cross-engine (sum order differs between engines by ulps).
+    */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      codebooks: Seq[Seq[Seq[Float]]],
+      broadcastQueries: Boolean = true): DataFrame = {
+    val m = codebooks.size
+    val sub = codebooks.head.head.size
+    val c = pqEncode(corpus, idCol, vecCol, codebooks)
+      .select(col(idCol).as("neighbor_id"), col("codes"))
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val q = if (broadcastQueries) broadcast(q0) else q0
+    val dist = (0 until m).map { s =>
+      val qslc = slice(col("__qv"), s * sub + 1, sub)
+      // codebook s as a literal array-of-arrays; the row's code selects one
+      val cent = element_at(typedLit(codebooks(s)), element_at(col("codes"), s + 1) + 1)
+      aggregate(
+        zip_with(qslc, cent,
+          (x, cc) => (x.cast("double") - cc.cast("double")) * (x.cast("double") - cc.cast("double"))),
+        lit(0.0), (acc, z) => acc + z)
+    }.reduce[Column](_ + _)
+    val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("dist", round(dist, 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("neighbor_id").asc)
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("dist"), col("__rn").as("rank"))
+  }
 }

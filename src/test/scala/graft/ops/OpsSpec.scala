@@ -440,6 +440,47 @@ class OpsSpec extends SparkSpec {
     assert(out(3L) == ((0, 1, 1, 0, 1, 0))) // 1 word < 10
   }
 
+  test("pqEncode/pqTopK match a naive driver-side product quantizer") {
+    // deterministic vectors, dim 8, m=2 subspaces, k=4 centroids
+    val dim = 8; val m = 2; val k = 4; val sub = dim / m
+    val vecs = (0L until 40L).map { id =>
+      (id, (0 until dim).map(j => (((id * 37 + j * 11) % 23).toFloat - 11f) / 7f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(df, "vec_id", "embedding", m, k)
+    // codebook contract: subspace s centroid j = vector j's s-th slice
+    for (s <- 0 until m; j <- 0 until k)
+      assert(cb(s)(j) == vecs(j)._2.slice(s * sub, (s + 1) * sub))
+    def l2(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum
+    def naiveCodes(v: Seq[Float]): Seq[Int] =
+      (0 until m).map { s =>
+        val slc = v.slice(s * sub, (s + 1) * sub)
+        cb(s).zipWithIndex.minBy { case (c, j) => (l2(slc, c), j) }._2
+      }
+    val got = Similarity.pqEncode(df, "vec_id", "embedding", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    for ((id, v) <- vecs) assert(got(id) == naiveCodes(v), s"vec $id")
+    // seed vectors must encode to their own index in every subspace
+    for (j <- 0 until k) assert(got(j.toLong) == Seq.fill(m)(j))
+    // ADC: naive table distance, round-4, rank by (dist, id)
+    val queries = vecs.take(6)
+    val naiveTop = queries.map { case (qid, qv) =>
+      val scored = vecs.filter(_._1 != qid).map { case (nid, nv) =>
+        val codes = naiveCodes(nv)
+        val dist = (0 until m).map(s =>
+          l2(qv.slice(s * sub, (s + 1) * sub), cb(s)(codes(s)))).sum
+        (nid, math.rint(dist * 1e4) / 1e4)
+      }.sortBy { case (nid, dd) => (dd, nid) }.take(3)
+      qid -> scored
+    }.toMap
+    val adc = Similarity.pqTopK(df, queries.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 3, codebooks = cb)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(3)).map(r => (r.getLong(1), r.getDouble(2))).toSeq).toMap
+    for ((qid, exp) <- naiveTop) assert(adc(qid) == exp, s"query $qid")
+  }
+
   test("corpusStats exact percentiles match a naive interpolated quantile") {
     val rnd = new scala.util.Random(7L)
     val corpus = (0L until 60L).map { i =>
