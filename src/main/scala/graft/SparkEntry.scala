@@ -751,6 +751,34 @@ object SparkEntry {
       k = 5, codebooks = cb)
   }
 
+  /** Exact duplicated-span detection (the fixed-length core of suffix-array
+    * exact-substring dedup, Lee et al. 2022): every 16-token span occurring
+    * at least twice corpus-wide, one row per occurrence, keyed by the
+    * portable rolling-hash span id the DuckDB oracle replays via rh61.
+    */
+  private def q60DupSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSpans(derivedTokens(spark, dir), "doc_id", "tokens",
+      n = 16, minCount = 2)
+
+  /** Apply step for q60: every token covered by a duplicated 16-span is
+    * masked to -1 (cut-don't-drop); digest the masked array for the gate.
+    */
+  private def q61MaskSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.maskDuplicatedSpans(derivedTokens(spark, dir), "doc_id", "tokens",
+      n = 16, minCount = 2, maskToken = -1)
+      .select(col("doc_id"), col("n_tok"), col("n_masked"),
+        arrayDigest(col("tokens_masked")).as("masked_str"))
+
+  /** Overlapping fixed-length context windows (chunking for unpacked
+    * training examples): 32-token chunks at stride 24, tails under 8 tokens
+    * dropped.
+    */
+  private def q62ChunkWindows(spark: SparkSession, dir: String): DataFrame =
+    Tokens.chunkWindows(derivedTokens(spark, dir), "doc_id", "tokens",
+      len = 32, stride = 24, minLen = 8)
+      .select(col("doc_id"), col("chunk_id"), col("n_chunk_tok"),
+        arrayDigest(col("chunk")).as("chunk_str"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pit_asof" -> (q01PitAsof _),
     "q02_latest_per_key" -> (q02LatestPerKey _),
@@ -810,7 +838,10 @@ object SparkEntry {
     "q56_tfidf_terms" -> (q56TfidfTerms _),
     "q57_corpus_stats" -> (q57CorpusStats _),
     "q58_pq_encode" -> (q58PqEncode _),
-    "q59_pq_adc" -> (q59PqAdc _))
+    "q59_pq_adc" -> (q59PqAdc _),
+    "q60_dup_spans" -> (q60DupSpans _),
+    "q61_mask_spans" -> (q61MaskSpans _),
+    "q62_chunk_windows" -> (q62ChunkWindows _))
 
   // ---- generated oracles for the hash-kernel queries -----------------------
   // Round 2 left q22/q23/q24/q26/q32/q39 rows-only because their outputs
@@ -1531,5 +1562,50 @@ object SparkEntry {
         |  FROM documents),
         |tri AS (SELECT t[CAST(i AS INT)] AS t1, t[CAST(i AS INT)+1] AS t2, t[CAST(i AS INT)+2] AS t3
         |  FROM toks, UNNEST(range(1, len(t) - 1)) u(i) WHERE len(t) >= 3)
-        |SELECT t1, t2, t3, count(*) AS cnt FROM tri GROUP BY 1, 2, 3 HAVING count(*) >= 5""".stripMargin)
+        |SELECT t1, t2, t3, count(*) AS cnt FROM tri GROUP BY 1, 2, 3 HAVING count(*) >= 5""".stripMargin,
+    "q60_dup_spans" -> (graft.functions.Mix61.oracleMacros +
+      s"""WITH $derivedToksCte,
+        |$spanCte
+        |dup AS (SELECT span_h, count(*) AS n_occ FROM sp GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT doc_id, pos, span_h, n_occ FROM sp JOIN dup USING (span_h)""".stripMargin),
+    "q61_mask_spans" -> (graft.functions.Mix61.oracleMacros +
+      s"""WITH $derivedToksCte,
+        |$spanCte
+        |dup AS (SELECT span_h FROM sp GROUP BY 1 HAVING count(*) >= 2),
+        |cov AS (SELECT DISTINCT sp.doc_id, sp.pos + CAST(j AS INT) AS p
+        |  FROM sp JOIN dup USING (span_h)
+        |  CROSS JOIN UNNEST(range(1, 17)) v(j)),
+        |px AS (SELECT doc_id, CAST(i AS INT) AS p, t[CAST(i AS INT)] AS tok
+        |  FROM toks, UNNEST(range(1, len(t) + 1)) u(i)),
+        |m AS (SELECT px.doc_id, px.p,
+        |    CASE WHEN cov.p IS NOT NULL THEN -1 ELSE px.tok END AS tok,
+        |    CASE WHEN cov.p IS NOT NULL THEN 1 ELSE 0 END AS msk
+        |  FROM px LEFT JOIN cov ON px.doc_id = cov.doc_id AND px.p = cov.p)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |  CAST(sum(msk) AS BIGINT) AS n_masked,
+        |  string_agg(CAST(tok AS VARCHAR), ',' ORDER BY p) AS masked_str
+        |FROM m GROUP BY doc_id""".stripMargin),
+    "q62_chunk_windows" ->
+      s"""WITH $derivedToksCte,
+        |ch AS (SELECT doc_id, CAST(c AS INT) AS chunk_id,
+        |    t[CAST(c * 24 + 1 AS INT):CAST(c * 24 + 32 AS INT)] AS chunk
+        |  FROM toks, UNNEST(range(0, CAST(ceil(len(t) / 24.0) AS BIGINT))) u(c)
+        |  WHERE len(t) >= 1)
+        |SELECT doc_id, chunk_id, CAST(len(chunk) AS BIGINT) AS n_chunk_tok,
+        |  array_to_string(chunk, ',') AS chunk_str
+        |FROM ch WHERE len(chunk) >= 8""".stripMargin)
+
+  /** q18/q43-style char-token derivation, shared by the q60–q62 oracles. */
+  private val derivedToksCte: String =
+    """toks AS (SELECT doc_id, list_transform(range(1, CAST(least(n_chars, 64) AS INT) + 1),
+      |    i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS INT)) AS t FROM documents)""".stripMargin
+
+  /** All 16-token span occurrences with their portable rolling-hash id —
+    * mirrors Dedup.duplicatedSpans span identity (rh61 over the space-joined
+    * decimal token rendering; pos is 0-based).
+    */
+  private val spanCte: String =
+    """sp AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+      |    rh61(array_to_string(t[CAST(i AS INT):CAST(i + 15 AS INT)], ' ')) AS span_h
+      |  FROM toks, UNNEST(range(1, len(t) - 14)) u(i) WHERE len(t) >= 16),""".stripMargin
 }

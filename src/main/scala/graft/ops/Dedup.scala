@@ -439,6 +439,83 @@ object Dedup {
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
 
+  /** Exact duplicated-span detection over pre-tokenized documents — the
+    * fixed-length core of suffix-array "exact substring" dedup (Lee et al.,
+    * *Deduplicating Training Data Makes Language Models Better*, ACL 2022,
+    * arXiv:2107.06499): every n-token span whose content occurs at least
+    * `minCount` times across the corpus (within-document repeats included —
+    * repeated boilerplate inside one page is still duplicated text) is
+    * reported with its document and 0-based start position.
+    *
+    * Span identity is the portable [[graft.functions.RollingHash]] over the
+    * space-joined decimal token rendering, computed inside the scan stage's
+    * codegen'd projection — the joined string never leaves the stage, so
+    * every shuffle moves 8-byte longs. Plan shape: bounded explode to
+    * (id, pos, h) rows (exactly ×(len−n+1) growth, no token arrays moved),
+    * a map-side-combinable count per hash, a filter to the duplicated-hash
+    * set, and one equi-join back onto occurrences. At corpus scale the
+    * duplicated set is the join's small side (AQE broadcasts it when it
+    * fits); the occurrence side is never self-joined.
+    */
+  def duplicatedSpans(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      n: Int,
+      minCount: Long = 2L): DataFrame = {
+    require(n >= 1, "span length n must be >= 1")
+    require(minCount >= 2, "minCount < 2 would report every span")
+    val strToks = transform(col(tokensCol), t => t.cast("string"))
+    val spanHashes = transform(
+      sequence(lit(1), size(col(tokensCol)) - (n - 1)),
+      i => graft.functions.RollingHash.rolling_hash(
+        array_join(slice(strToks, i, lit(n)), " ")))
+    val spans = df
+      .where(size(col(tokensCol)) >= n)
+      .select(col(idCol), posexplode(spanHashes))
+      .select(col(idCol), col("pos"), col("col").as("span_h"))
+    val dup = spans.groupBy(col("span_h"))
+      .agg(count(lit(1)).as("n_occ"))
+      .where(col("n_occ") >= minCount)
+    spans.join(dup, Seq("span_h"))
+      .select(col(idCol), col("pos"), col("span_h"), col("n_occ"))
+  }
+
+  /** Apply step for [[duplicatedSpans]]: every token covered by at least one
+    * duplicated n-span occurrence is replaced with `maskToken` (the
+    * cut-don't-drop policy — document structure survives, duplicated bytes
+    * don't train). Covered positions are a bounded ×n explode of the
+    * (already small) duplicated-occurrence set, dedup'd and collected to one
+    * sorted position array per document, then applied in a single indexed
+    * `transform` projection. The per-token `array_contains` probe is
+    * O(|covered|) per token — fine while duplicated coverage per document is
+    * sparse; a corpus where most positions are covered should dedup at the
+    * document level first (that is what [[exact]] / [[ngramJaccard]] are
+    * for).
+    */
+  def maskDuplicatedSpans(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      n: Int,
+      minCount: Long = 2L,
+      maskToken: Int = -1): DataFrame = {
+    val covered = duplicatedSpans(df, idCol, tokensCol, n, minCount)
+      .select(col(idCol), explode(sequence(col("pos") + 1, col("pos") + n)).as("__j"))
+      .distinct()
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__j"))).as("__cov"))
+    df.join(covered, Seq(idCol), "left")
+      .withColumn("__cov", coalesce(col("__cov"), array().cast("array<int>")))
+      .select(
+        col(idCol),
+        size(col(tokensCol)).cast("long").as("n_tok"),
+        size(col("__cov")).cast("long").as("n_masked"),
+        transform(col(tokensCol),
+          (t, i) => when(array_contains(col("__cov"), i + 1), lit(maskToken))
+            .otherwise(t)).as("tokens_masked"))
+  }
+
   /** SimHash near-dup pairs with hamming distance <= maxHamming, found via
     * 4×15-bit block LSH (two fingerprints within hamming d<=3 share at least
     * one of 4 blocks exactly — pigeonhole over all 60 bits), then exact

@@ -140,6 +140,35 @@ object Tokens {
         sequence(lit(1), size(col(tokensCol)) - (n - 1)),
         i => slice(col(tokensCol), i, lit(n)))).as("gram"))
 
+  /** Overlapping fixed-length context windows: chunk c covers tokens
+    * [c·stride, c·stride + len), starts running 0, stride, 2·stride, …
+    * while start < n_tok; trailing windows shorter than `minLen` tokens are
+    * dropped. The chunk-for-context-window step used when documents are NOT
+    * packed — each chunk becomes one training example, with stride < len
+    * giving token overlap between consecutive examples. Row growth is
+    * exactly the chunk count (⌈n_tok/stride⌉ before the minLen filter) —
+    * a bounded explode inside the scan stage, no shuffle, no UDF.
+    */
+  def chunkWindows(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      len: Int,
+      stride: Int,
+      minLen: Int = 1): DataFrame = {
+    require(len >= 1 && stride >= 1, "len and stride must be >= 1")
+    require(minLen >= 1 && minLen <= len, "minLen must be in [1, len]")
+    val nStarts = floor((size(col(tokensCol)) + lit(stride - 1)) / lit(stride)).cast("int")
+    val chunks = transform(
+      sequence(lit(0), nStarts - 1),
+      c => slice(col(tokensCol), c * stride + 1, lit(len)))
+    df.where(size(col(tokensCol)) >= 1)
+      .select(col(idCol), posexplode(chunks))
+      .where(size(col("col")) >= minLen)
+      .select(col(idCol), col("pos").as("chunk_id"),
+        size(col("col")).cast("long").as("n_chunk_tok"), col("col").as("chunk"))
+  }
+
   /** Truncate to `len` tokens and right-pad with `padToken` — the fixed-
     * width tensorization step. Pure column expression.
     */

@@ -423,6 +423,47 @@ class OpsSpec extends SparkSpec {
     assert(got(2L)._3 == "unique two") // doc 1 claimed "common line" first
   }
 
+  test("duplicatedSpans/maskDuplicatedSpans match a naive span-count oracle") {
+    val n = 4
+    val rnd = new scala.util.Random(11L)
+    // small alphabet + planted repeats so 4-spans genuinely collide, both
+    // across documents and (for i % 3 == 0) within one document
+    val docs = (0 until 60).map { i =>
+      val base = Array.fill(rnd.nextInt(30) + 10)(rnd.nextInt(5))
+      val toks = if (i % 3 == 0) base ++ Array(1, 2, 3, 4, 1, 2, 3, 4) else base
+      (i.toLong, toks)
+    }
+    val df = docs.toDF("doc_id", "tokens")
+    // naive oracle over span CONTENT (hash-free); the assertion then checks
+    // the operator's rolling-hash span ids against the mirrored Scala hash
+    val all = docs.flatMap { case (id, t) =>
+      t.sliding(n).zipWithIndex.collect { case (s, p) if s.length == n => (id, p, s.toList) }
+    }
+    val counts = all.groupBy(_._3).map { case (k, v) => k -> v.size.toLong }
+    val expected = all.filter(a => counts(a._3) >= 2).map { case (id, p, s) =>
+      (id, p, graft.functions.RollingHash.hash(s.mkString(" ")), counts(s))
+    }.toSet
+    val got = Dedup.duplicatedSpans(df, "doc_id", "tokens", n)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+
+    val covered = all.filter(a => counts(a._3) >= 2)
+      .groupBy(_._1).map { case (id, occ) =>
+        id -> occ.flatMap { case (_, p, _) => p until p + n }.toSet
+      }
+    val masked = Dedup.maskDuplicatedSpans(df, "doc_id", "tokens", n)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getSeq[Int](3).toList)))
+      .toMap
+    assert(masked.keySet == docs.map(_._1).toSet) // no doc dropped by the left join
+    docs.foreach { case (id, t) =>
+      val cov = covered.getOrElse(id, Set.empty[Int])
+      val exp = t.toList.zipWithIndex.map { case (tok, i) => if (cov(i)) -1 else tok }
+      assert(masked(id) == ((t.length.toLong, cov.size.toLong, exp)))
+    }
+  }
+
   test("gopherRules indicators and conjunction match hand-computed values") {
     val texts = Seq(
       (1L, "the cat and the dog ran to the big park with a friend today again"), // passes all (15 words, stopwords)

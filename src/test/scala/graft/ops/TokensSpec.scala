@@ -123,6 +123,36 @@ class TokensSpec extends SparkSpec {
     assert(out(2L) == List(0))
   }
 
+  test("chunkWindows: strided overlapping windows; short tails dropped, ids stable") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23L)
+    val docsL = (0 until 50).map(i =>
+      (i.toLong, Array.fill(rnd.nextInt(100) + 1)(rnd.nextInt(1000))))
+    val df = docsL.toDF("doc_id", "tokens")
+    val (len, stride, minLen) = (16, 12, 5)
+    val got = Tokens.chunkWindows(df, "doc_id", "tokens", len, stride, minLen)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getSeq[Int](3).toList)))
+      .toMap
+    // naive oracle: chunk c covers [c*stride, c*stride+len); chunk_id keeps
+    // its pre-filter index so dropped tails leave gaps, not renumbering
+    val expected = docsL.flatMap { case (id, t) =>
+      val nStarts = (t.length + stride - 1) / stride
+      (0 until nStarts).map { c =>
+        val chunk = t.slice(c * stride, c * stride + len).toList
+        (id, c) -> ((chunk.length.toLong, chunk))
+      }.filter(_._2._2.size >= minLen)
+    }.toMap
+    assert(got == expected)
+    // every token appears in at least one chunk when stride < len and the
+    // doc itself is >= minLen (full coverage property of overlapping windows)
+    docsL.filter(_._2.length >= len).foreach { case (id, t) =>
+      val coveredN = got.collect { case ((i, c), _) if i == id => c }.toList
+        .map(c => math.min(c * stride + len, t.length)).max
+      assert(coveredN == t.length || t.length - coveredN < minLen)
+    }
+  }
+
   test("truncatePad yields fixed width with pad token on the right") {
     import spark.implicits._
     val df = Seq((1L, Seq(1, 2, 3)), (2L, Seq.range(0, 10))).toDF("id", "t")
