@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, Mix61, RollingHash}
+import graft.functions.{DotProduct, Mix61, RollingHash, SpanHashes}
 
 /** SparkSessionExtensions entry point: registers graft's native Catalyst
   * expressions as SQL functions, so `spark.sql("SELECT rolling_hash(text)
@@ -35,6 +35,15 @@ object GraftExtensions {
     "mix61" -> { args =>
       require(args.size == 2, "mix61(bigint, bigint seed)")
       Mix61(args(0), args(1))
+    },
+    "span_hashes" -> { args =>
+      require(args.size == 2, "span_hashes(array<int|bigint|string>, n)")
+      val n = args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"span_hashes n must be an integer literal, got $other")
+      }
+      SpanHashes(args(0), n)
     })
 
   /** Register into an existing session (tests / notebooks where the

@@ -448,14 +448,15 @@ object Dedup {
     * reported with its document and 0-based start position.
     *
     * Span identity is the portable [[graft.functions.RollingHash]] over the
-    * space-joined decimal token rendering, computed inside the scan stage's
-    * codegen'd projection — the joined string never leaves the stage, so
-    * every shuffle moves 8-byte longs. Plan shape: bounded explode to
-    * (id, pos, h) rows (exactly ×(len−n+1) growth, no token arrays moved),
-    * a map-side-combinable count per hash, a filter to the duplicated-hash
-    * set, and one equi-join back onto occurrences. At corpus scale the
-    * duplicated set is the join's small side (AQE broadcasts it when it
-    * fits); the occurrence side is never self-joined.
+    * space-joined decimal token rendering, computed for ALL spans of a row
+    * in one O(doc chars) prefix scan by the native codegen
+    * [[graft.functions.SpanHashes]] kernel — the joined string never leaves
+    * the scan stage, so every shuffle moves 8-byte longs. Plan shape:
+    * bounded explode to (id, pos, h) rows (exactly ×(len−n+1) growth, no
+    * token arrays moved), a map-side-combinable count per hash, a filter to
+    * the duplicated-hash set, and one equi-join back onto occurrences. At
+    * corpus scale the duplicated set is the join's small side (AQE
+    * broadcasts it when it fits); the occurrence side is never self-joined.
     */
   def duplicatedSpans(
       df: DataFrame,
@@ -465,14 +466,10 @@ object Dedup {
       minCount: Long = 2L): DataFrame = {
     require(n >= 1, "span length n must be >= 1")
     require(minCount >= 2, "minCount < 2 would report every span")
-    val strToks = transform(col(tokensCol), t => t.cast("string"))
-    val spanHashes = transform(
-      sequence(lit(1), size(col(tokensCol)) - (n - 1)),
-      i => graft.functions.RollingHash.rolling_hash(
-        array_join(slice(strToks, i, lit(n)), " ")))
     val spans = df
       .where(size(col(tokensCol)) >= n)
-      .select(col(idCol), posexplode(spanHashes))
+      .select(col(idCol),
+        posexplode(graft.functions.SpanHashes.span_hashes(col(tokensCol), n)))
       .select(col(idCol), col("pos"), col("col").as("span_h"))
     val dup = spans.groupBy(col("span_h"))
       .agg(count(lit(1)).as("n_occ"))
