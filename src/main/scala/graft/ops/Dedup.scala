@@ -483,12 +483,10 @@ object Dedup {
     * cut-don't-drop policy — document structure survives, duplicated bytes
     * don't train). Covered positions are a bounded ×n explode of the
     * (already small) duplicated-occurrence set, dedup'd and collected to one
-    * sorted position array per document, then applied in a single indexed
-    * `transform` projection. The per-token `array_contains` probe is
-    * O(|covered|) per token — fine while duplicated coverage per document is
-    * sparse; a corpus where most positions are covered should dedup at the
-    * document level first (that is what [[exact]] / [[ngramJaccard]] are
-    * for).
+    * sorted position array per document, then applied by the native
+    * [[graft.functions.MaskCovered]] merge-scan kernel —
+    * O(n_tok + covered) per row inside whole-stage codegen, so dense
+    * coverage on long documents stays linear.
     */
   def maskDuplicatedSpans(
       df: DataFrame,
@@ -508,9 +506,8 @@ object Dedup {
         col(idCol),
         size(col(tokensCol)).cast("long").as("n_tok"),
         size(col("__cov")).cast("long").as("n_masked"),
-        transform(col(tokensCol),
-          (t, i) => when(array_contains(col("__cov"), i + 1), lit(maskToken))
-            .otherwise(t)).as("tokens_masked"))
+        graft.functions.MaskCovered.mask_covered(
+          col(tokensCol), col("__cov"), maskToken).as("tokens_masked"))
   }
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming, found via
