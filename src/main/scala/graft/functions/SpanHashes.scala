@@ -82,6 +82,36 @@ object SpanHashes {
     if (s >= Mod) s - Mod else s
   }
 
+  /** 31^k mod M, shared across rows and threads: the powers are
+    * row-independent, so recomputing an O(chars) array per row (measured:
+    * 2.4× on 2k-token docs) is pure waste. Grow-only table; readers take a
+    * volatile snapshot, growth is synchronized and idempotent.
+    */
+  @volatile private var powTable: Array[Long] = {
+    val a = new Array[Long](4096)
+    a(0) = 1L
+    var i = 1
+    while (i < a.length) { a(i) = mulmod(a(i - 1), 31L); i += 1 }
+    a
+  }
+
+  private def powsFor(maxExp: Int): Array[Long] = {
+    var t = powTable
+    if (t.length <= maxExp) synchronized {
+      t = powTable
+      if (t.length <= maxExp) {
+        var cap = t.length
+        while (cap <= maxExp) cap *= 2
+        val m = java.util.Arrays.copyOf(t, cap)
+        var i = t.length
+        while (i < cap) { m(i) = mulmod(m(i - 1), 31L); i += 1 }
+        powTable = m
+        t = m
+      }
+    }
+    t
+  }
+
   def compute(arr: ArrayData, kind: Int, n: Int): ArrayData = {
     val len = arr.numElements()
     if (len < n)
@@ -121,10 +151,7 @@ object SpanHashes {
       endOff(i) = pos
       i += 1
     }
-    val pow = new Array[Long](pos + 1)
-    pow(0) = 1L
-    i = 1
-    while (i <= pos) { pow(i) = mulmod(pow(i - 1), 31L); i += 1 }
+    val pow = powsFor(pos)
     val m = len - n + 1
     val out = new Array[Long](m)
     i = 0
