@@ -27,9 +27,10 @@ object Dedup {
   /** Word shingles as 61-bit hashes: distinct n-grams of whitespace-split
     * words per doc, each shingle hashed with the portable
     * [[graft.functions.RollingHash]] recurrence over the space-joined n-gram
-    * — the n-gram string exists only transiently inside the scan stage's
-    * codegen'd projection, so every downstream shuffle/join still moves
-    * 8-byte longs instead of text. Set semantics (and therefore Jaccard
+    * — all of a document's shingle hashes come from ONE
+    * [[graft.functions.SpanHashes]] prefix scan (O(doc chars), whole-stage
+    * codegen; no joined strings, no per-shingle lambda), so every downstream
+    * shuffle/join moves 8-byte longs instead of text. Set semantics (and therefore Jaccard
     * counts) are preserved up to hash collisions: ~d²/2⁶² expected colliding
     * pairs for d distinct shingles — zero in practice below ~10⁹ distinct
     * shingles, and a bounded count undercount of ±1 per collision beyond
@@ -47,13 +48,8 @@ object Dedup {
     val words = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
     df.select(col(idCol), words.as("__w"))
       .where(size(col("__w")) >= n)
-      .select(
-        col(idCol),
-        explode(
-          transform(
-            sequence(lit(0), size(col("__w")) - n),
-            i => graft.functions.RollingHash.rolling_hash(
-              concat_ws(" ", (0 until n).map(k => element_at(col("__w"), i + k + 1)): _*)))).as("shingle"))
+      .select(col(idCol),
+        explode(graft.functions.SpanHashes.span_hashes(col("__w"), n)).as("shingle"))
       .distinct()
   }
 
