@@ -769,6 +769,18 @@ object SparkEntry {
       .select(col("doc_id"), col("n_tok"), col("n_masked"),
         arrayDigest(col("tokens_masked")).as("masked_str"))
 
+  /** q44's decontamination through the Bloom pre-filter path: the benchmark
+    * shingle set folds into a bitmap probed map-side, the exact join kills
+    * false positives — same rows/scores/oracle as q44, scan-stage-filtered
+    * plan. A deliberately small bitmap (64 Kbit for ~2k bench shingles,
+    * ~28% fpr) proves the exact-verify step does real work.
+    */
+  private def q63DecontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    Dedup.containmentBloom(docs, docs.where(col("doc_id") < 20), "doc_id", "text",
+      n = 3, threshold = 0.5, mBits = 1L << 16, k = 4)
+  }
+
   /** Overlapping fixed-length context windows (chunking for unpacked
     * training examples): 32-token chunks at stride 24, tails under 8 tokens
     * dropped.
@@ -841,7 +853,8 @@ object SparkEntry {
     "q59_pq_adc" -> (q59PqAdc _),
     "q60_dup_spans" -> (q60DupSpans _),
     "q61_mask_spans" -> (q61MaskSpans _),
-    "q62_chunk_windows" -> (q62ChunkWindows _))
+    "q62_chunk_windows" -> (q62ChunkWindows _),
+    "q63_decontaminate_bloom" -> (q63DecontaminateBloom _))
 
   // ---- generated oracles for the hash-kernel queries -----------------------
   // Round 2 left q22/q23/q24/q26/q32/q39 rows-only because their outputs
@@ -1536,17 +1549,10 @@ object SparkEntry {
         |  list_concat(t[1:48],
         |    list_transform(range(1, 48 - least(len(t), 48) + 1), x -> 0)), ',') AS padded_str
         |FROM toks""".stripMargin,
-    "q44_decontaminate" ->
-      """WITH words AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-        |       FROM words, UNNEST(range(1, len(w) - 1)) t(i)),
-        |b AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id < 20),
-        |bn AS (SELECT bench_id, count(*) AS n FROM b GROUP BY 1),
-        |ix AS (SELECT sh.doc_id, b.bench_id, count(*) AS c
-        |       FROM sh JOIN b USING (s) GROUP BY 1, 2)
-        |SELECT ix.doc_id, ix.bench_id, round(c / CAST(n AS DOUBLE), 6) AS containment
-        |FROM ix JOIN bn USING (bench_id)
-        |WHERE round(c / CAST(n AS DOUBLE), 6) >= 0.5""".stripMargin,
+    "q44_decontaminate" -> containmentOracle,
+    // the Bloom path is output-identical by construction (exact verify
+    // join); the SAME oracle proves it end-to-end
+    "q63_decontaminate_bloom" -> containmentOracle,
     "q45_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |g AS (SELECT doc_id, len(ws) AS nw,
@@ -1594,6 +1600,21 @@ object SparkEntry {
         |SELECT doc_id, chunk_id, CAST(len(chunk) AS BIGINT) AS n_chunk_tok,
         |  array_to_string(chunk, ',') AS chunk_str
         |FROM ch WHERE len(chunk) >= 8""".stripMargin)
+
+  /** Shared by q44 (plain containment) and q63 (Bloom-prefiltered): the two
+    * plans must produce byte-identical decontamination results.
+    */
+  private val containmentOracle: String =
+    """WITH words AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |       FROM words, UNNEST(range(1, len(w) - 1)) t(i)),
+      |b AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id < 20),
+      |bn AS (SELECT bench_id, count(*) AS n FROM b GROUP BY 1),
+      |ix AS (SELECT sh.doc_id, b.bench_id, count(*) AS c
+      |       FROM sh JOIN b USING (s) GROUP BY 1, 2)
+      |SELECT ix.doc_id, ix.bench_id, round(c / CAST(n AS DOUBLE), 6) AS containment
+      |FROM ix JOIN bn USING (bench_id)
+      |WHERE round(c / CAST(n AS DOUBLE), 6) >= 0.5""".stripMargin
 
   /** q18/q43-style char-token derivation, shared by the q60–q62 oracles. */
   private val derivedToksCte: String =

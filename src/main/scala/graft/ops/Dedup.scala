@@ -236,6 +236,46 @@ object Dedup {
       .select(col("doc_id_").as("doc_id"), col("bench_id"), col("containment"))
   }
 
+  /** [[containment]] with a Bloom pre-filter on the corpus side — the
+    * 100 TB decontamination shape when the benchmark shingle set is too
+    * large to broadcast as a join hash table. The benchmark shingles fold
+    * into an `mBits` bitmap (distributed `bit_or` build, driver cost
+    * bounded by the bitmap — [[graft.functions.BloomFilter61.build]]); the
+    * corpus probes it inside the scan stage via the codegen
+    * `might_contain_61` expression, so only the surviving minority of
+    * corpus shingles ever reaches the exact join. Bloom false positives are
+    * killed by that join, so the OUTPUT IS EXACTLY [[containment]]'s —
+    * same rows, same scores, same oracle — only the plan differs: shuffle
+    * volume drops from |corpus shingles| to |survivors| ≈ |true hits| +
+    * fpr·|corpus shingles|.
+    */
+  def containmentBloom(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      mBits: Long = 1L << 22,
+      k: Int = 4): DataFrame = {
+    val corpusSh = wordShingles(corpus, idCol, textCol, n)
+      .select(col(idCol).as("doc_id_"), col("shingle"))
+    val benchSh = wordShingles(benchmark, idCol, textCol, n)
+      .select(col(idCol).as("bench_id"), col("shingle"))
+    val benchSizes = benchSh.groupBy(col("bench_id")).agg(count(lit(1)).as("__bn"))
+    val bitmap = graft.functions.BloomFilter61.build(
+      benchSh.select(col("shingle")).distinct(), "shingle", mBits, k)
+    val survivors = corpusSh.where(graft.functions.BloomFilter61.might_contain_61(
+      lit(bitmap), col("shingle"), k))
+    survivors.join(benchSh, "shingle") // exact verify: false positives drop here
+      .groupBy(col("doc_id_"), col("bench_id"))
+      .agg(count(lit(1)).as("__ix"))
+      .join(benchSizes, "bench_id")
+      .withColumn("containment", round(col("__ix").cast("double") / col("__bn"), 6))
+      .where(col("containment") >= threshold)
+      .select(col("doc_id_").as("doc_id"), col("bench_id"), col("containment"))
+  }
+
   /** MinHash signatures: k independent permutations simulated as
     * min(mix61(shingle, seed_i)) per doc — [[graft.functions.Mix61]] is
     * engine-portable, so the DuckDB gate replays the exact signatures.

@@ -423,6 +423,39 @@ class OpsSpec extends SparkSpec {
     assert(got(2L)._3 == "unique two") // doc 1 claimed "common line" first
   }
 
+  test("containmentBloom equals containment exactly; the bitmap really filters") {
+    val rnd = new scala.util.Random(31L)
+    val vocab = Array.tabulate(400)(i => s"v$i")
+    val docs = (0 until 120).map { i =>
+      val w = (0 until 40).map(_ => vocab(rnd.nextInt(vocab.length)))
+      // docs ending in 9 fully embed bench doc (i % 10)'s text — planted leaks
+      val text = if (i >= 20 && i % 10 == 9)
+        (w ++ (0 until 40).map(j => vocab((i % 10 * 7 + j) % vocab.length))).mkString(" ")
+      else w.mkString(" ")
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val bench = docs.where(col("doc_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val plain = rows(Dedup.containment(docs, bench, "doc_id", "text", 3, 0.3))
+    // tiny bitmap (high fpr) — the exact-verify join must still kill every FP
+    for (mBits <- Seq(1L << 12, 1L << 20)) {
+      val bloom = rows(Dedup.containmentBloom(docs, bench, "doc_id", "text", 3, 0.3,
+        mBits = mBits, k = 4))
+      assert(bloom == plain, s"mBits=$mBits")
+    }
+    assert(plain.nonEmpty)
+    // direct probe semantics: every inserted value hits; selectivity is real
+    val hashes = Dedup.wordShingles(bench, "doc_id", "text", 3)
+      .select(col("shingle")).distinct()
+    val bm = graft.functions.BloomFilter61.build(hashes, "shingle", 1L << 20, 4)
+    val inserted = hashes.collect().map(_.getLong(0))
+    assert(inserted.forall(graft.functions.BloomFilter61.mightContain(bm, _, 4)))
+    val misses = (0 until 10000).map(i => graft.functions.Mix61.mix(i.toLong, 999L))
+      .count(!graft.functions.BloomFilter61.mightContain(bm, _, 4))
+    assert(misses > 9500) // fpr well under 5% at ~1k items in 1M bits
+  }
+
   test("duplicatedSpans/maskDuplicatedSpans match a naive span-count oracle") {
     val n = 4
     val rnd = new scala.util.Random(11L)
