@@ -305,13 +305,13 @@ object Similarity {
 
   /** Squared L2 between a (float) sub-vector column and a literal centroid:
     * widen to double BEFORE subtracting (exact for floats), accumulate in
-    * index order — bit-reproducible cross-engine.
+    * index order — bit-reproducible cross-engine. The native codegen
+    * [[graft.functions.L2SqDistance]] kernel performs those operations in
+    * that order, so it is bit-identical to the zip_with/aggregate
+    * formulation it replaced (m×k of these run per PQ-encoded row).
     */
   private def l2sq(a: Column, cvec: Seq[Float]): Column =
-    aggregate(
-      zip_with(a, typedLit(cvec),
-        (x, c) => (x.cast("double") - c.cast("double")) * (x.cast("double") - c.cast("double"))),
-      lit(0.0), (acc, z) => acc + z)
+    graft.functions.VectorOps.l2sq_f(a, typedLit(cvec))
 
   /** PQ-encode every vector to an m-byte code array: per subspace, argmin
     * squared-L2 over the literal codebook (first index wins exact ties —
@@ -364,10 +364,7 @@ object Similarity {
       val qslc = slice(col("__qv"), s * sub + 1, sub)
       // codebook s as a literal array-of-arrays; the row's code selects one
       val cent = element_at(typedLit(codebooks(s)), element_at(col("codes"), s + 1) + 1)
-      aggregate(
-        zip_with(qslc, cent,
-          (x, cc) => (x.cast("double") - cc.cast("double")) * (x.cast("double") - cc.cast("double"))),
-        lit(0.0), (acc, z) => acc + z)
+      graft.functions.VectorOps.l2sq_f(qslc, cent)
     }.reduce[Column](_ + _)
     val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
       .withColumn("dist", round(dist, 4))
