@@ -297,10 +297,12 @@ object ScalingBench {
          |(identical physical plans — cores only change concurrent task
          |slots); 16 GB heap per JVM (measured: a 64 GB G1 heap with 32
          |mutator threads degrades the same job 2-6×; size the single-JVM
-         |heap like a real per-executor heap). Efficiency slightly above 1.0
-         |is within run-to-run variance of the N-core point (it holds 64
-         |partitions' state longer per core, paying more GC/page-cache churn
-         |per task than the 4N run).
+         |heap like a real per-executor heap). The N-core point carries the
+         |most run-to-run variance (it holds 64 partitions' state longer per
+         |core, paying more GC/page-cache churn per task than the 4N run),
+         |so the efficiency number moves a few points between runs — values
+         |slightly above 1.0 have occurred and mean nothing more than that
+         |variance.
          |""".stripMargin
     Files.createDirectories(Paths.get(outMd).toAbsolutePath.getParent)
     Files.write(Paths.get(outMd), md.getBytes(StandardCharsets.UTF_8))
