@@ -42,4 +42,9 @@ fi
 submit 2  run "$DATA" 2  "$DATA/run2.json"
 submit 8  run "$DATA" 8  "$DATA/run8.json"
 submit 32 run "$DATA" 32 "$DATA/run32.json"
-submit 1  report "$DATA/run2.json" "$DATA/run8.json" BENCH/BASELINE.md "$DATA/run32.json"
+# single-run report goes to a scratch file: BENCH/BASELINE.md carries the
+# hand-merged PAIRED-median table across sessions — merge new pairs into it
+# rather than overwriting (a round-3 regen once clobbered the protocol
+# section and pair history)
+submit 1  report "$DATA/run2.json" "$DATA/run8.json" BENCH/BASELINE_lastrun.md "$DATA/run32.json"
+echo "wrote BENCH/BASELINE_lastrun.md — merge the new pair into BENCH/BASELINE.md's table"
