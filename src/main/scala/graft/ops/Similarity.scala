@@ -330,11 +330,13 @@ object Similarity {
     val sub = codebooks.head.head.size
     val codes = array((0 until m).map { s =>
       val slc = slice(col(vecCol), s * sub + 1, sub)
-      val dists = codebooks(s).map(cvec => l2sq(slc, cvec))
-      val best = if (dists.size == 1) dists.head else least(dists: _*)
-      dists.zipWithIndex.foldRight(lit(-1)) { case ((d, j), acc) =>
-        when(d === best, lit(j)).otherwise(acc)
-      }
+      // argmin with first-index-wins ties: array_position of the min value
+      // evaluates each of the k distances ONCE — the when-chain fold it
+      // replaces duplicated every distance into a k-deep CASE (2·k l2sq
+      // calls per subspace in one expression tree), blowing the generated
+      // method past JIT limits
+      val darr = array(codebooks(s).map(cvec => l2sq(slc, cvec)): _*)
+      (array_position(darr, array_min(darr)) - 1).cast("int")
     }: _*)
     corpus.select(col(idCol), codes.as("codes"))
   }
