@@ -127,13 +127,12 @@ object Similarity {
       .map(_.getSeq[Float](1).toArray).toSeq
     for (_ <- 0 until iters) {
       // struct-free argmax (ties → smallest cid): first index whose cosine
-      // equals the greatest — avoids struct-field resolution inside nested
-      // higher-order lambdas
-      val sims = cents.map(cvec => cosine(col(vecCol), typedLit(cvec.toSeq)))
-      val top = if (sims.size == 1) sims.head else greatest(sims: _*)
-      val best = sims.zipWithIndex.foldRight(lit(-1)) { case ((s, i), acc) =>
-        when(s === top, lit(i)).otherwise(acc)
-      }
+      // equals the greatest. array_position evaluates each cosine once;
+      // the when-chain fold it replaces duplicated every similarity into a
+      // k-deep CASE (2·k cosines in one expression tree — JIT-hostile, see
+      // pqEncode)
+      val simArr = array(cents.map(cvec => cosine(col(vecCol), typedLit(cvec.toSeq))): _*)
+      val best = (array_position(simArr, array_max(simArr)) - 1).cast("int")
       // per-dimension mean via posexplode: rows stay (cid, dim, x) narrow,
       // partials combine map-side; the re-assembled vector per cell is
       // bounded by the embedding dimension
