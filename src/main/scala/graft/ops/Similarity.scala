@@ -52,31 +52,15 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"), col("__rn").as("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (bit, dim):
-    * a sign in {-1, +1} from the engine-portable [[graft.functions.Mix61]]
-    * mix (seed 101+bit over the dimension index) — data independent,
-    * seed-stable, and exactly reproducible by the DuckDB oracle.
-    */
-  private def planeSign(bit: Int, dim: Column): Column = {
-    val h = graft.functions.Mix61.mix61(dim, lit(101L + bit))
-    when(h.bitwiseAND(1) === 1, lit(1.0)).otherwise(lit(-1.0))
-  }
-
   /** Sign-LSH signature of `numBits` bits for an embedding column, using
     * hyperplanes `firstBit until firstBit + numBits` (the offset lets banded
-    * callers draw independent planes per band).
+    * callers draw independent planes per band). One native
+    * [[graft.functions.SignSignature]] pass — bit-identical to the per-bit
+    * `aggregate(zip_with(...))` formulation it replaced (see its scaladoc),
+    * which cost numBits × dim interpreted evaluations per row.
     */
-  def signSignature(vec: Column, numBits: Int, firstBit: Int = 0): Column = {
-    val proj = (0 until numBits).map { b =>
-      // dot(vec, plane_b) via index-aware aggregate
-      val dotExpr = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (v, i) => v.cast("double") * planeSign(firstBit + b, i)),
-        lit(0.0), (acc, z) => acc + z)
-      when(dotExpr > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    proj.reduce[Column](_.bitwiseOR(_))
-  }
+  def signSignature(vec: Column, numBits: Int, firstBit: Int = 0): Column =
+    graft.functions.SignSignature.sign_signature(vec, numBits, firstBit)
 
   /** LSH-bucketed approximate top-k: probe only the query's own bucket.
     * Recall < 1 by construction; verified downstream against bruteForceTopK.

@@ -99,9 +99,10 @@ object TextStats {
     */
   def repetitionRatio(text: Column, n: Int): Column = {
     val words = split(text, "\\s+")
-    val grams = transform(
-      sequence(lit(0), size(words) - n),
-      i => xxhash64((0 until n).map(k => element_at(words, i + k + 1)): _*))
+    // all n-gram fingerprints in one O(text) native prefix scan — the
+    // transform/xxhash64 formulation re-evaluated the split per gram
+    // element (interpreted HOF, no loop-invariant hoisting)
+    val grams = graft.functions.SpanHashes.span_hashes(words, n)
     when(size(words) < n, lit(0.0)).otherwise(
       round((size(grams) - size(array_distinct(grams))).cast("double") / size(grams), 6))
   }
