@@ -791,6 +791,15 @@ object SparkEntry {
       .select(col("doc_id"), col("chunk_id"), col("n_chunk_tok"),
         arrayDigest(col("chunk")).as("chunk_str"))
 
+  /** Deterministic shuffle + length-bucketed batching (the pre-training
+    * batch-assembly step): mix61 order keys, 16-token length buckets,
+    * batches of 8, two-level numbering over 4 sub-shards — all mirrored
+    * exactly in the DuckDB oracle.
+    */
+  private def q64ShuffleBatches(spark: SparkSession, dir: String): DataFrame =
+    Tokens.shuffleBatches(derivedTokens(spark, dir), "doc_id", "n_tok",
+      bucketWidth = 16, batchSize = 8, seed = 42L, subShards = 4)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pit_asof" -> (q01PitAsof _),
     "q02_latest_per_key" -> (q02LatestPerKey _),
@@ -854,7 +863,8 @@ object SparkEntry {
     "q60_dup_spans" -> (q60DupSpans _),
     "q61_mask_spans" -> (q61MaskSpans _),
     "q62_chunk_windows" -> (q62ChunkWindows _),
-    "q63_decontaminate_bloom" -> (q63DecontaminateBloom _))
+    "q63_decontaminate_bloom" -> (q63DecontaminateBloom _),
+    "q64_shuffle_batches" -> (q64ShuffleBatches _))
 
   // ---- generated oracles for the hash-kernel queries -----------------------
   // Round 2 left q22/q23/q24/q26/q32/q39 rows-only because their outputs
@@ -1591,6 +1601,19 @@ object SparkEntry {
         |  CAST(sum(msk) AS BIGINT) AS n_masked,
         |  string_agg(CAST(tok AS VARCHAR), ',' ORDER BY p) AS masked_str
         |FROM m GROUP BY doc_id""".stripMargin),
+    "q64_shuffle_batches" -> (graft.functions.Mix61.oracleMacros +
+      """WITH d AS (SELECT doc_id, CAST(least(n_chars, 64) AS INT) AS n_tok FROM documents),
+        |k AS (SELECT doc_id,
+        |    CAST(floor((greatest(n_tok, 1) - 1) / 16.0) AS INT) AS bucket,
+        |    mix61(doc_id, 42) AS ord FROM d),
+        |s AS (SELECT *, CAST(ord % 4 AS INT) AS shard FROM k),
+        |rn AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket, shard ORDER BY ord, doc_id) - 1 AS rnum FROM s),
+        |o AS (SELECT bucket, shard, count(*) AS cnt FROM s GROUP BY 1, 2),
+        |o2 AS (SELECT bucket, shard, SUM(cnt) OVER (PARTITION BY bucket ORDER BY shard) - cnt AS off FROM o),
+        |p AS (SELECT rn.doc_id, rn.bucket, rn.rnum + o2.off AS pos
+        |      FROM rn JOIN o2 USING (bucket, shard))
+        |SELECT doc_id, bucket, CAST(floor(pos / 8.0) AS BIGINT) AS batch_id,
+        |  CAST(pos % 8 AS INT) AS pos_in_batch FROM p""".stripMargin),
     "q62_chunk_windows" ->
       s"""WITH $derivedToksCte,
         |ch AS (SELECT doc_id, CAST(c AS INT) AS chunk_id,

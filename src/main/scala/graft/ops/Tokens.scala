@@ -140,6 +140,67 @@ object Tokens {
         sequence(lit(1), size(col(tokensCol)) - (n - 1)),
         i => slice(col(tokensCol), i, lit(n)))).as("gram"))
 
+  /** Deterministic corpus shuffle + length-bucketed batching: every
+    * document gets a seed-stable pseudo-random order key
+    * (`mix61(id, seed)` — reproducible across engines and partitionings,
+    * unlike `orderBy(rand())`), documents are grouped into length buckets
+    * (`bucket = ⌊(n_tok−1)/bucketWidth⌋` — batching similar lengths
+    * minimizes padding waste), and each bucket is cut into batches of
+    * `batchSize` in shuffled order. The "shuffle + dynamic batching" step
+    * between curation and training.
+    *
+    * SCALE: with `subShards = 1`, positions come from one ROW_NUMBER task
+    * per bucket. With `subShards > 1` the numbering is TWO-LEVEL (same
+    * construction as [[packGreedy]]): rows shard by `ord mod subShards`,
+    * ROW_NUMBER runs per (bucket, shard) — buckets × subShards concurrent
+    * tasks — and shard offsets come from a tiny per-(bucket, shard) count
+    * frame. Layout order becomes (shard, ord) within a bucket — a
+    * different but equally deterministic permutation (the shard index is
+    * itself derived from the shuffle key, so the composition is still a
+    * seed-stable shuffle).
+    *
+    * Output: (id, bucket, batch_id, pos_in_batch) — batch_id is global
+    * across buckets only in combination with `bucket`; the last batch of a
+    * (bucket, shard) span may be short.
+    */
+  def shuffleBatches(
+      df: DataFrame,
+      idCol: String,
+      nTokCol: String,
+      bucketWidth: Int,
+      batchSize: Int,
+      seed: Long,
+      subShards: Int = 1): DataFrame = {
+    require(bucketWidth >= 1 && batchSize >= 1 && subShards >= 1,
+      "bucketWidth, batchSize and subShards must be >= 1")
+    val ord = graft.functions.Mix61.mix61(col(idCol).cast("long"), lit(seed))
+    val withKeys = df.select(
+      col(idCol),
+      floor((greatest(col(nTokCol), lit(1)) - 1) / bucketWidth).cast("int").as("bucket"),
+      ord.as("__ord"),
+      pmod(ord, lit(subShards)).cast("int").as("__shard"))
+    val rnW = Window.partitionBy(col("bucket"), col("__shard"))
+      .orderBy(col("__ord"), col(idCol))
+    val positioned =
+      if (subShards == 1)
+        withKeys.withColumn("__pos", row_number().over(rnW) - 1)
+      else {
+        val offW = Window.partitionBy(col("bucket")).orderBy(col("__shard"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val offsets = withKeys.groupBy(col("bucket"), col("__shard"))
+          .agg(count(lit(1)).as("__cnt"))
+          .withColumn("__offset", sum(col("__cnt")).over(offW) - col("__cnt"))
+          .drop("__cnt")
+        withKeys.join(offsets, Seq("bucket", "__shard"))
+          .withColumn("__pos", row_number().over(rnW) - 1 + col("__offset"))
+      }
+    positioned.select(
+      col(idCol),
+      col("bucket"),
+      (col("__pos") / batchSize).cast("long").as("batch_id"),
+      pmod(col("__pos"), lit(batchSize)).cast("int").as("pos_in_batch"))
+  }
+
   /** Overlapping fixed-length context windows: chunk c covers tokens
     * [c·stride, c·stride + len), starts running 0, stride, 2·stride, …
     * while start < n_tok; trailing windows shorter than `minLen` tokens are

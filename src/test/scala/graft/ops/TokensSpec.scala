@@ -153,6 +153,39 @@ class TokensSpec extends SparkSpec {
     }
   }
 
+  test("shuffleBatches: seed-stable permutation, homogeneous buckets, full batches") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41L)
+    val docsL = (0 until 300).map(i => (i.toLong, rnd.nextInt(120) + 1))
+    val df = docsL.toDF("doc_id", "n_tok")
+    val (width, batch) = (16, 8)
+    for (shards <- Seq(1, 4)) {
+      val out = Tokens.shuffleBatches(df, "doc_id", "n_tok", width, batch, seed = 42L,
+        subShards = shards)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+      assert(out.length == docsL.length) // no row lost or duplicated
+      assert(out.map(_._1).toSet == docsL.map(_._1).toSet)
+      val byDoc = docsL.toMap
+      out.foreach { case (id, bucket, _, _) =>
+        assert(bucket == (byDoc(id) - 1) / width) // bucket from length
+      }
+      // per bucket: positions form 0..n-1; every batch full except the last
+      out.groupBy(_._2).foreach { case (_, rows) =>
+        val pos = rows.map(r => r._3 * batch + r._4).sorted
+        assert(pos.toList == (0L until rows.length.toLong).toList)
+        val lastBatch = rows.map(_._3).max
+        rows.groupBy(_._3).foreach { case (b, g) =>
+          assert(g.length == batch || b == lastBatch)
+        }
+      }
+    }
+    // the shuffle is a real, seed-dependent permutation
+    def order(seed: Long) = Tokens.shuffleBatches(df, "doc_id", "n_tok", width, batch, seed)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getInt(3), r.getLong(0))).sorted.map(_._4).toList
+    assert(order(42L) == order(42L))
+    assert(order(42L) != order(43L))
+  }
+
   test("truncatePad yields fixed width with pad token on the right") {
     import spark.implicits._
     val df = Seq((1L, Seq(1, 2, 3)), (2L, Seq.range(0, 10))).toDF("id", "t")
