@@ -388,7 +388,10 @@ object Dedup {
     * halves the iteration count and slots in here unchanged if diameters
     * grow). The loop is driver-side with a per-iteration convergence count
     * (an iterative algorithm needs an action per step); `localCheckpoint`
-    * truncates lineage so plans stay flat across iterations.
+    * truncates lineage so plans stay flat across iterations. The previous
+    * label rides inside the checkpointed frame, so convergence detection is
+    * a filter+count over already-materialized partitions — no extra
+    * join/shuffle per iteration.
     *
     * @param pairs (id1, id2) rows; direction irrelevant.
     * @return one row per node appearing in `pairs`: (id, component).
@@ -407,13 +410,11 @@ object Dedup {
         .groupBy(col("a")).agg(min(col("nc")).as("nmin"))
       val next = labels
         .join(neighborMin.select(col("a").as("id"), col("nmin")), Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("__prev"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
         .localCheckpoint()
-      changed = labels.select(col("id"), col("comp").as("prev"))
-        .join(next, Seq("id"))
-        .where(col("prev") =!= col("comp")).count()
-      labels = next
+      changed = next.where(col("__prev") =!= col("comp")).count()
+      labels = next.select(col("id"), col("comp"))
       i += 1
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIter iterations")
