@@ -393,13 +393,26 @@ object Dedup {
     * a filter+count over already-materialized partitions — no extra
     * join/shuffle per iteration.
     *
+    * Size-gated driver path: a near-dup pair list is a tiny fraction of the
+    * corpus (pair mining already reduced 100 TB of documents to the rows
+    * that matched), so when the deduplicated edge list is small — counted
+    * first, same calculus as a broadcast-join threshold — the iterative
+    * cluster rounds are replaced by one collect + union-find on the driver
+    * (O(E α(E)), ~16 bytes/edge). The distributed loop remains the path for
+    * edge lists above the gate, where the driver could not hold them.
+    *
     * @param pairs (id1, id2) rows; direction irrelevant.
+    * @param driverMaxEdges collect+union-find below this many distinct
+    *        undirected edges (default 2M ≈ tens of MB on the driver);
+    *        distributed hash-min label propagation above it.
     * @return one row per node appearing in `pairs`: (id, component).
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+      driverMaxEdges: Long = 2000000L): DataFrame = {
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .distinct().localCheckpoint()
+    if (edges.count() <= driverMaxEdges) return driverComponents(edges)
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint()
     var changed = 1L
@@ -419,6 +432,52 @@ object Dedup {
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIter iterations")
     labels
+  }
+
+  /** Driver-side union-find over a small collected edge list (the
+    * below-the-gate branch of [[connectedComponents]]): path-halving find +
+    * union by rank, then component = min id per root under the id type's
+    * natural ordering (ids are numeric or string — Comparable). The result
+    * is a local relation, so downstream joins against it broadcast.
+    */
+  private def driverComponents(edges: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val spark = edges.sparkSession
+    val idType = edges.schema("a").dataType
+    val rows = edges.collect()
+    val index = scala.collection.mutable.HashMap.empty[Any, Int]
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def idx(v: Any): Int =
+      index.getOrElseUpdate(v, { ids += v; ids.size - 1 })
+    rows.foreach { r => idx(r.get(0)); idx(r.get(1)) }
+    val n = ids.size
+    val parent = Array.tabulate(n)(identity)
+    val rank = new Array[Int](n)
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    rows.foreach { r =>
+      val (ra, rb) = (find(idx(r.get(0))), find(idx(r.get(1))))
+      if (ra != rb) {
+        if (rank(ra) < rank(rb)) parent(ra) = rb
+        else if (rank(rb) < rank(ra)) parent(rb) = ra
+        else { parent(rb) = ra; rank(ra) += 1 }
+      }
+    }
+    def lt(x: Any, y: Any): Boolean = x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    val minOfRoot = new Array[Any](n)
+    (0 until n).foreach { i =>
+      val r = find(i)
+      if (minOfRoot(r) == null || lt(ids(i), minOfRoot(r))) minOfRoot(r) = ids(i)
+    }
+    val out: java.util.List[org.apache.spark.sql.Row] =
+      (0 until n).map(i => org.apache.spark.sql.Row(ids(i), minOfRoot(find(i)))).asJava
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("comp", idType)))
+    spark.createDataFrame(out, schema)
   }
 
   /** Corpus after near-duplicate removal: for each duplicate cluster

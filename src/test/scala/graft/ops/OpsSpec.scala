@@ -219,9 +219,15 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
+    // distributed hash-min path (forced via driverMaxEdges = 0) agrees with
+    // the driver union-find path on the same graph
+    val distComp = Dedup.connectedComponents(pairs, driverMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distComp == comp)
     // long chain (diameter 40) still converges via hash-min propagation
     val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id1", "id2")
-    val chainComp = Dedup.connectedComponents(chain, maxIter = 50)
+    val chainComp = Dedup.connectedComponents(chain, maxIter = 50,
+        driverMaxEdges = 0L)
       .collect().map(r => r.getLong(1)).toSet
     assert(chainComp == Set(0L))
     // dropNearDuplicates keeps one representative per cluster + unmatched rows
