@@ -800,6 +800,27 @@ object SparkEntry {
     Tokens.shuffleBatches(derivedTokens(spark, dir), "doc_id", "n_tok",
       bucketWidth = 16, batchSize = 8, seed = 42L, subShards = 4)
 
+  /** Exact stratified holdout: exactly ceil(20% × n) docs per language,
+    * chosen by mix61 priority — per-stratum counts are contractual
+    * (integer-exact), unlike q49's Bernoulli mixture.
+    */
+  private def q65StratifiedExact(spark: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedExact(
+      tbl(spark, dir, "documents").select(col("doc_id"), col("lang")),
+      groupCol = "lang", idCol = "doc_id", ratePerMillion = 200000L, seed = 11L)
+
+  /** Token-budget mixture fill: per source, keep docs in mix61 priority
+    * order until 600 estimated tokens are reached (kept atomically — the
+    * crossing doc is dropped).
+    */
+  private def q66TokenBudget(spark: SparkSession, dir: String): DataFrame =
+    Sampling.tokenBudget(
+      tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextStats.tokenCount(col("text")).as("n_tok")),
+      groupCol = "source", idCol = "doc_id", tokensCol = "n_tok",
+      budget = 600L, seed = 13L)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pit_asof" -> (q01PitAsof _),
     "q02_latest_per_key" -> (q02LatestPerKey _),
@@ -864,7 +885,9 @@ object SparkEntry {
     "q61_mask_spans" -> (q61MaskSpans _),
     "q62_chunk_windows" -> (q62ChunkWindows _),
     "q63_decontaminate_bloom" -> (q63DecontaminateBloom _),
-    "q64_shuffle_batches" -> (q64ShuffleBatches _))
+    "q64_shuffle_batches" -> (q64ShuffleBatches _),
+    "q65_stratified" -> (q65StratifiedExact _),
+    "q66_token_budget" -> (q66TokenBudget _))
 
   // ---- generated oracles for the hash-kernel queries -----------------------
   // Round 2 left q22/q23/q24/q26/q32/q39 rows-only because their outputs
@@ -1614,6 +1637,24 @@ object SparkEntry {
         |      FROM rn JOIN o2 USING (bucket, shard))
         |SELECT doc_id, bucket, CAST(floor(pos / 8.0) AS BIGINT) AS batch_id,
         |  CAST(pos % 8 AS INT) AS pos_in_batch FROM p""".stripMargin),
+    "q65_stratified" -> (graft.functions.Mix61.oracleMacros +
+      """WITH r AS (SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY mix61(doc_id, 11), doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT doc_id, lang FROM r
+        |WHERE rn <= (n * 200000 + 999999) // 1000000""".stripMargin),
+    "q66_token_budget" -> (graft.functions.Mix61.oracleMacros +
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY source
+        |      ORDER BY mix61(doc_id, 13), doc_id) AS cum_tokens
+        |  FROM d)
+        |SELECT doc_id, source, n_tok, cum_tokens FROM c
+        |WHERE cum_tokens <= 600""".stripMargin),
     "q62_chunk_windows" ->
       s"""WITH $derivedToksCte,
         |ch AS (SELECT doc_id, CAST(c AS INT) AS chunk_id,

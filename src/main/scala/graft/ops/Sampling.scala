@@ -99,4 +99,64 @@ object Sampling {
     }
     df.where(bucket(col(idCol), seed) < rateCol)
   }
+
+  /** Exact stratified sample: EXACTLY ceil(n_g × rate) rows from every
+    * group, chosen by ascending mix61(id) (ties by id) — the construction
+    * for eval/holdout sets where per-stratum counts are contractual, unlike
+    * [[mixture]]'s Bernoulli-by-hash whose per-group count is binomial.
+    * Fully integer arithmetic (rate is parts-per-million), so the kept set
+    * is bit-reproducible across engines.
+    *
+    * Shape: ONE shuffle on the group key; both windows (rank by hash,
+    * group size) share the same partitioning. The per-group window sort is
+    * the cost — at corpus scale a hot group sorts n_g rows, so for
+    * approximate needs use [[mixture]] (a pure filter); exact-count
+    * selection inherently needs a per-group order statistic.
+    */
+  def stratifiedExact(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      ratePerMillion: Long,
+      seed: Long): DataFrame = {
+    require(ratePerMillion >= 0 && ratePerMillion <= Buckets, "rate in [0, 1e6]")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(Mix61.mix61(col(idCol), lit(seed)).asc, col(idCol).asc)
+    val wg = Window.partitionBy(col(groupCol))
+    df.withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wg))
+      // k = ceil(n * rate / 1e6) via integral `div` — exact past 2^53,
+      // where a double-typed divide would silently round
+      .where(col("__rn") <=
+        expr(s"(__n * ${ratePerMillion}L + ${Buckets - 1}L) div ${Buckets}L"))
+      .drop("__rn", "__n")
+  }
+
+  /** Token-budget mixture fill: per group, keep documents in deterministic
+    * mix61(id) priority order while the running token total stays within
+    * `budget` — the "fill B tokens per source" step of training-mixture
+    * assembly (a document is kept atomically; the one that would cross the
+    * budget, and everything after it, is dropped). Emits `cum_tokens`, the
+    * running total through the kept row, so downstream packing knows each
+    * group's realized size.
+    *
+    * Shape: ONE shuffle on the group key, one running-sum window in that
+    * partitioning, then a codegen'd filter. Same hot-group sort calculus as
+    * [[stratifiedExact]].
+    */
+  def tokenBudget(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      tokensCol: String,
+      budget: Long,
+      seed: Long): DataFrame = {
+    require(budget >= 0, "budget >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(Mix61.mix61(col(idCol), lit(seed)).asc, col(idCol).asc)
+    df.withColumn("cum_tokens", sum(col(tokensCol)).over(w))
+      .where(col("cum_tokens") <= lit(budget))
+  }
 }

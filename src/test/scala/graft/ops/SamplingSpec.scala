@@ -57,4 +57,50 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(counts("b") - 0.2 * 6667) < 200, counts.toString)
     assert(!counts.contains("c")) // defaultRate 0 drops the group entirely
   }
+
+  test("stratifiedExact: per-group counts are exactly ceil(n*rate); stable") {
+    val df = ids.withColumn("grp",
+      when(col("doc_id") % 4 === 0, "a").when(col("doc_id") % 4 === 1, "b").otherwise("c"))
+    val groupN = df.groupBy("grp").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 333331 ppm — a rate that does NOT divide the group sizes evenly
+    val out = Sampling.stratifiedExact(df, "grp", "doc_id", 333331L, seed = 5L)
+    val counts = out.groupBy("grp").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    groupN.foreach { case (g, n) =>
+      val k = (n * 333331L + 999999L) / 1000000L
+      assert(counts(g) == k, s"group $g: got ${counts(g)}, want $k of $n")
+    }
+    // deterministic: the same call selects the identical id set
+    val again = Sampling.stratifiedExact(df, "grp", "doc_id", 333331L, seed = 5L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("tokenBudget: kept prefix sums within budget; crossing doc dropped") {
+    val df = ids.withColumn("grp", (col("doc_id") % 3).cast("string"))
+      .withColumn("n_tok", col("doc_id") % 97 + 1)
+    val out = Sampling.tokenBudget(df, "grp", "doc_id", "n_tok",
+      budget = 1000L, seed = 3L).cache()
+    val sums = out.groupBy("grp").agg(sum("n_tok").as("s"), max("cum_tokens").as("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(sums.nonEmpty)
+    sums.foreach { case (g, s, m) =>
+      assert(s == m, s"group $g: cum_tokens must equal the kept sum")
+      assert(s <= 1000L, s"group $g exceeds budget: $s")
+    }
+    // maximality: for each group, the next doc in priority order would cross
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(graft.functions.Mix61.mix61(col("doc_id"), lit(3L)).asc, col("doc_id").asc)
+    val ranked = df.withColumn("cum", sum(col("n_tok")).over(w))
+    val firstDropped = ranked.where(col("cum") > 1000L)
+      .withColumn("rn", row_number().over(w.orderBy(col("cum").asc)))
+      .where(col("rn") === 1)
+      .collect().map(r => r.getAs[String]("grp") -> r.getAs[Long]("cum")).toMap
+    firstDropped.foreach { case (g, cum) =>
+      assert(cum > 1000L, s"group $g: first dropped doc must cross the budget")
+    }
+    out.unpersist()
+  }
 }
