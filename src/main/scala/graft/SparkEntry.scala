@@ -821,6 +821,23 @@ object SparkEntry {
       groupCol = "source", idCol = "doc_id", tokensCol = "n_tok",
       budget = 600L, seed = 13L)
 
+  /** Composite-key PIT as-of (J5 through the gate, not just specs): latest
+    * prior event value for the same (user, event_type) within ttl 12h —
+    * probe and feature partitions are disjoint so every match crosses the
+    * join. Same windowed kernel as q01, two-column key.
+    */
+  private def q67CompositeAsof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(spark, dir, "events")
+    val entity = ev.where(col("event_id") % 5 === 0)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val feature = ev.where(col("event_id") % 5 =!= 0)
+      .select(col("user_id"), col("event_type"), col("ts"),
+        col("value").as("prev_value"), col("event_id").as("f_created"))
+    AsOfJoin.windowed(entity, feature,
+      AsOfSpec(Seq("user_id", "event_type"), "ts", "ts", Some("f_created"),
+        Some(12L * 3600), Seq("prev_value")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pit_asof" -> (q01PitAsof _),
     "q02_latest_per_key" -> (q02LatestPerKey _),
@@ -887,7 +904,8 @@ object SparkEntry {
     "q63_decontaminate_bloom" -> (q63DecontaminateBloom _),
     "q64_shuffle_batches" -> (q64ShuffleBatches _),
     "q65_stratified" -> (q65StratifiedExact _),
-    "q66_token_budget" -> (q66TokenBudget _))
+    "q66_token_budget" -> (q66TokenBudget _),
+    "q67_composite_asof" -> (q67CompositeAsof _))
 
   // ---- generated oracles for the hash-kernel queries -----------------------
   // Round 2 left q22/q23/q24/q26/q32/q39 rows-only because their outputs
@@ -1655,6 +1673,16 @@ object SparkEntry {
         |  FROM d)
         |SELECT doc_id, source, n_tok, cum_tokens FROM c
         |WHERE cum_tokens <= 600""".stripMargin),
+    "q67_composite_asof" ->
+      """WITH ent AS (SELECT event_id, user_id, event_type, ts FROM events WHERE event_id % 5 = 0),
+        |feat AS (SELECT event_id AS f_id, user_id, event_type, ts AS f_ts, value
+        |         FROM events WHERE event_id % 5 <> 0),
+        |j AS (SELECT e.event_id, e.user_id, e.event_type, e.ts, f.value,
+        |        ROW_NUMBER() OVER (PARTITION BY e.event_id ORDER BY f.f_ts DESC, f.f_id DESC) rn
+        |      FROM ent e LEFT JOIN feat f ON e.user_id = f.user_id
+        |        AND e.event_type = f.event_type
+        |        AND f.f_ts <= e.ts AND f.f_ts >= e.ts - INTERVAL 12 HOUR)
+        |SELECT event_id, user_id, event_type, ts, value AS prev_value FROM j WHERE rn = 1""".stripMargin,
     "q62_chunk_windows" ->
       s"""WITH $derivedToksCte,
         |ch AS (SELECT doc_id, CAST(c AS INT) AS chunk_id,
