@@ -230,6 +230,13 @@ class OpsSpec extends SparkSpec {
         driverMaxEdges = 0L)
       .collect().map(r => r.getLong(1)).toSet
     assert(chainComp == Set(0L))
+    // string ids: driver union-find orders via Comparable (lexicographic min)
+    val sPairs = Seq(("docB", "docA"), ("docC", "docB"), ("docZ", "docY"))
+      .toDF("id1", "id2")
+    val sComp = Dedup.connectedComponents(sPairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sComp == Map("docA" -> "docA", "docB" -> "docA", "docC" -> "docA",
+      "docY" -> "docY", "docZ" -> "docY"))
     // dropNearDuplicates keeps one representative per cluster + unmatched rows
     val corpus = (1L to 25L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     val kept = Dedup.dropNearDuplicates(corpus, "doc_id", pairs)
