@@ -398,13 +398,15 @@ object Dedup {
     * that matched), so when the deduplicated edge list is small — counted
     * first, same calculus as a broadcast-join threshold — the iterative
     * cluster rounds are replaced by one collect + union-find on the driver
-    * (O(E α(E)), ~16 bytes/edge). The distributed loop remains the path for
-    * edge lists above the gate, where the driver could not hold them.
+    * (O(E α(E)) work; collected Rows are boxed, so budget ~100-200 B/edge
+    * transient). The distributed loop remains the path for edge lists above
+    * the gate, where the driver could not hold them.
     *
     * @param pairs (id1, id2) rows; direction irrelevant.
     * @param driverMaxEdges collect+union-find below this many distinct
-    *        undirected edges (default 2M ≈ tens of MB on the driver);
-    *        distributed hash-min label propagation above it.
+    *        undirected edges (default 2M ≈ a few hundred MB transient on a
+    *        driver sized like an executor); distributed hash-min label
+    *        propagation above it.
     * @return one row per node appearing in `pairs`: (id, component).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
