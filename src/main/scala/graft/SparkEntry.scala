@@ -5,7 +5,7 @@ import java.time.Instant
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.fe.Windows
+import graft.fe.{Backfill, Windows}
 import graft.materialize.Materialize
 import graft.model.{BatchSource, Entity, Feature, FeatureView, FieldMapping, ValueType}
 import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextStats, Tokens}
@@ -838,6 +838,45 @@ object SparkEntry {
         Some(12L * 3600), Seq("prev_value")))
   }
 
+  /** North-rule resumability through the hard gate (not just BackfillSpec):
+    * run a checkpointed backfill over the first half of the interval grid,
+    * then re-run over the FULL grid against the same checkpoint log — the
+    * second run must SKIP the completed intervals. A broken resume would
+    * re-execute them and emit duplicate interval rows, failing the oracle's
+    * fixed four-row grid. Output: per executed interval, its id, the
+    * materialized row count (= distinct keys active in the interval — the
+    * lineage `rows` metric) and which run executed it (1 = first half,
+    * 2 = resumed remainder; both derivable from the grid by the oracle).
+    * The metrics rows are driver-side scalars by design (one per interval);
+    * the distributed work is inside Backfill.run.
+    */
+  private def q68Backfill(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_backfill").toString
+    val table = SnapshotTable(s"$root/table")
+    val ckpt = s"$root/ckpt.jsonl"
+    val ev = tbl(spark, dir, "events")
+    def go(end: java.sql.Timestamp) =
+      Backfill.run(spark, ev, Seq("user_id"), "ts", Some("event_id"),
+        ts("2024-01-01T00:00:00Z"), end, stepSeconds = 7L * 24 * 3600,
+        table = table, checkpointPath = ckpt)
+    val run1 = go(ts("2024-01-15T00:00:00Z"))
+    val run2 = go(ts("2024-01-29T00:00:00Z"))
+    import spark.implicits._
+    (run1.map(m => (m.intervalId, m.rows, 1)) ++
+      run2.map(m => (m.intervalId, m.rows, 2)))
+      .toDF("interval_id", "n_keys", "run_no")
+  }
+
+  /** DSIR importance weights over the documents corpus: target slice is the
+    * English documents, features are 64-bucket hashed word unigrams on the
+    * portable mix61(rh61(word)) kernel (seed 7) — the hashed-ngram
+    * importance-resampling scorer of a pretraining-data curation pipeline.
+    */
+  private def q69DsirWeights(spark: SparkSession, dir: String): DataFrame =
+    Sampling.importanceWeights(
+      tbl(spark, dir, "documents"), idCol = "doc_id", textCol = "text",
+      isTarget = col("lang") === "en", buckets = 64, seed = 7L)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pit_asof" -> (q01PitAsof _),
     "q02_latest_per_key" -> (q02LatestPerKey _),
@@ -905,7 +944,9 @@ object SparkEntry {
     "q64_shuffle_batches" -> (q64ShuffleBatches _),
     "q65_stratified" -> (q65StratifiedExact _),
     "q66_token_budget" -> (q66TokenBudget _),
-    "q67_composite_asof" -> (q67CompositeAsof _))
+    "q67_composite_asof" -> (q67CompositeAsof _),
+    "q68_backfill" -> (q68Backfill _),
+    "q69_dsir_weights" -> (q69DsirWeights _))
 
   // ---- generated oracles for the hash-kernel queries -----------------------
   // Round 2 left q22/q23/q24/q26/q32/q39 rows-only because their outputs
@@ -1683,6 +1724,36 @@ object SparkEntry {
         |        AND e.event_type = f.event_type
         |        AND f.f_ts <= e.ts AND f.f_ts >= e.ts - INTERVAL 12 HOUR)
         |SELECT event_id, user_id, event_type, ts, value AS prev_value FROM j WHERE rn = 1""".stripMargin,
+    // q68: the oracle pins the FULL four-interval grid with single-run
+    // executions — a broken checkpoint resume re-executes run 1's intervals
+    // in run 2 and fails on row count (6 rows vs 4).
+    "q68_backfill" ->
+      """WITH grid AS (
+        |  SELECT TIMESTAMP '2024-01-01 00:00:00' + to_days(CAST(i * 7 AS INT)) AS lo,
+        |         TIMESTAMP '2024-01-01 00:00:00' + to_days(CAST((i + 1) * 7 AS INT)) AS hi
+        |  FROM range(4) t(i))
+        |SELECT strftime(g.lo, '%Y-%m-%dT%H:%M:%SZ') || '_' || strftime(g.hi, '%Y-%m-%dT%H:%M:%SZ') AS interval_id,
+        |  count(DISTINCT e.user_id) AS n_keys,
+        |  CASE WHEN g.hi <= TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 2 END AS run_no
+        |FROM grid g LEFT JOIN events e ON e.ts >= g.lo AND e.ts < g.hi
+        |GROUP BY g.lo, g.hi""".stripMargin,
+    "q69_dsir_weights" -> (graft.functions.Mix61.oracleMacros +
+      """WITH words AS (SELECT doc_id, lang = 'en' AS t,
+        |    UNNEST(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS w
+        |  FROM documents),
+        |pd AS (SELECT doc_id, mix61(rh61(w), 7) % 64 AS b, count(*) AS c, max(t) AS t
+        |  FROM words GROUP BY 1, 2),
+        |tm AS (SELECT b, sum(c) AS tc FROM pd WHERE t GROUP BY 1),
+        |rm AS (SELECT b, sum(c) AS rc FROM pd GROUP BY 1),
+        |tt AS (SELECT sum(c) AS tn FROM pd WHERE t),
+        |rt AS (SELECT sum(c) AS rn FROM pd),
+        |ratio AS (SELECT s.range AS b,
+        |    CAST(round((ln(CAST(coalesce(tc, 0) + 1 AS DOUBLE) / (tt.tn + 64))
+        |        - ln(CAST(coalesce(rc, 0) + 1 AS DOUBLE) / (rt.rn + 64))) * 1e6) AS BIGINT) AS llr
+        |  FROM range(64) s LEFT JOIN tm ON tm.b = s.range LEFT JOIN rm ON rm.b = s.range
+        |  CROSS JOIN tt CROSS JOIN rt)
+        |SELECT doc_id, CAST(sum(c * llr) AS DOUBLE) / 1e6 AS dsir_weight
+        |FROM pd JOIN ratio USING (b) GROUP BY 1""".stripMargin),
     "q62_chunk_windows" ->
       s"""WITH $derivedToksCte,
         |ch AS (SELECT doc_id, CAST(c AS INT) AS chunk_id,

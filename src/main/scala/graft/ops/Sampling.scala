@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.Mix61
+import graft.functions.{Mix61, RollingHash}
 
 /** Deterministic sampling / splitting for training-data assembly, all keyed
   * by the engine-portable [[Mix61]] hash of a row id — NOT Spark's
@@ -131,6 +131,73 @@ object Sampling {
       .where(col("__rn") <=
         expr(s"(__n * ${ratePerMillion}L + ${Buckets - 1}L) div ${Buckets}L"))
       .drop("__rn", "__n")
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169): score
+    * every document by how much more likely its hashed bag-of-words is under
+    * a target corpus slice than under the raw corpus. Features are word
+    * unigrams hashed into `buckets` via the portable mix61(rh61(word)), so
+    * the DuckDB gate replays the identical buckets; both bag-of-words models
+    * are add-one-smoothed bucket distributions, and
+    * weight(doc) = Σ_b c_b(doc) · (ln p_target(b) − ln p_raw(b)).
+    * Resample downstream by thresholding the weight or ranking with
+    * [[topKPerGroup]] / [[sampleByHash]].
+    *
+    * Cross-engine float discipline: the per-bucket log-ratio is quantized
+    * to INTEGER micro-nats before the per-doc sum (libm `ln` differs by
+    * ulps between engines, and float summation order differs between
+    * plans), so the aggregate is exact integer arithmetic and the final
+    * weight — one correctly-rounded IEEE division — is bit-identical in
+    * any engine. Stricter than the round-before-aggregate pattern of
+    * [[TextStats.tfIdfTopTerms]]: a rounded SUM can still flip on the
+    * rounding boundary; a summed INTEGER cannot.
+    *
+    * Shape at scale: explode → per-(doc, bucket) counts is one map-side-
+    * combinable shuffle keyed by (doc, bucket); both models and their
+    * totals are `buckets`-row / 1-row aggregates (tiny — broadcast onto the
+    * count frame, no driver collect); the final per-doc sum re-shuffles on
+    * the doc id only. Documents with no words have no bag-of-words and are
+    * absent from the output, mirroring the reference method.
+    */
+  def importanceWeights(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      buckets: Int,
+      seed: Long): DataFrame = {
+    require(buckets > 0, "buckets > 0")
+    val words = df.select(
+      col(idCol), isTarget.as("__t"),
+      explode(filter(split(col(textCol), "\\s+"), w => length(w) > 0)).as("__w"))
+    val perDoc = words
+      .select(col(idCol), col("__t"),
+        pmod(Mix61.mix61(RollingHash.rolling_hash(col("__w")), lit(seed)),
+          lit(buckets.toLong)).as("__b"))
+      .groupBy(col(idCol), col("__b"))
+      .agg(count(lit(1)).as("__c"), max(col("__t")).as("__t"))
+    val targetModel = perDoc.where(col("__t"))
+      .groupBy(col("__b")).agg(sum(col("__c")).as("__tc"))
+    val rawModel = perDoc.groupBy(col("__b")).agg(sum(col("__c")).as("__rc"))
+    val targetTotal = targetModel.select(sum(col("__tc")).as("__tn"))
+    val rawTotal = rawModel.select(sum(col("__rc")).as("__rn"))
+    val spine = df.sparkSession.range(buckets).select(col("id").as("__b"))
+    val logRatio = spine
+      .join(targetModel, Seq("__b"), "left")
+      .join(rawModel, Seq("__b"), "left")
+      .crossJoin(broadcast(targetTotal))
+      .crossJoin(broadcast(rawTotal))
+      .select(col("__b"), round((
+        log((coalesce(col("__tc"), lit(0L)) + 1).cast("double") /
+          (col("__tn") + buckets)) -
+        log((coalesce(col("__rc"), lit(0L)) + 1).cast("double") /
+          (col("__rn") + buckets))) * 1e6, 0).cast("long").as("__llr"))
+    perDoc
+      .join(broadcast(logRatio), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg((sum(col("__c") * col("__llr")).cast("double") / 1e6)
+        .as("dsir_weight"))
   }
 
   /** Token-budget mixture fill: per group, keep documents in deterministic

@@ -103,4 +103,57 @@ class SamplingSpec extends SparkSpec {
     }
     out.unpersist()
   }
+
+  test("importanceWeights: matches the naive DSIR computation; separates target vocabulary") {
+    import graft.functions.{Mix61, RollingHash}
+    val data = Seq(
+      (0L, "the cat sat on the mat", true),
+      (1L, "the dog sat on the log", true),
+      (2L, "cat and dog and mat", true),
+      (3L, "xs qq zz ww vv", false),
+      (4L, "qq ww ee rr tt yy", false),
+      (5L, "the cat and the dog", false), // target-like vocab, raw slice
+      (6L, "zz vv xs xs xs", false))
+    val docs = data.toDF("doc_id", "text", "is_target")
+    val B = 32
+    val seed = 5L
+    val got = Sampling.importanceWeights(docs, "doc_id", "text",
+      col("is_target"), buckets = B, seed = seed)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // naive driver-side DSIR: hashed-unigram bucket counts, add-one smoothed
+    // bag-of-words models, per-doc sum of log ratios
+    def bucket(w: String): Int = (Mix61.mix(RollingHash.hash(w), seed) % B).toInt
+    val perDoc: Map[Long, Map[Int, Long]] = data.map { case (id, text, _) =>
+      id -> text.split("\\s+").filter(_.nonEmpty).map(bucket)
+        .groupBy(identity).map { case (b, ws) => b -> ws.length.toLong }
+    }.toMap
+    def model(ids: Set[Long]): (Map[Int, Long], Long) = {
+      val counts = perDoc.filter(kv => ids.contains(kv._1)).values
+        .flatten.groupBy(_._1).map { case (b, cs) => b -> cs.map(_._2).sum }
+      (counts, counts.values.sum)
+    }
+    val targetIds = data.filter(_._3).map(_._1).toSet
+    val (tm, tn) = model(targetIds)
+    val (rm, rn) = model(data.map(_._1).toSet)
+    // micro-nat quantization (HALF_UP = ties away from zero, both engines)
+    val llr: Map[Int, Long] = (0 until B).map { b =>
+      val x = math.log((tm.getOrElse(b, 0L) + 1).toDouble / (tn + B)) -
+        math.log((rm.getOrElse(b, 0L) + 1).toDouble / (rn + B))
+      b -> BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }.toMap
+    val want = perDoc.map { case (id, counts) =>
+      id -> counts.map { case (b, c) => c * llr(b) }.sum.toDouble / 1e6
+    }
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, w) =>
+      assert(w == want(id), s"doc $id: got $w want ${want(id)}")
+    }
+    // semantics: target-vocabulary docs (incl. the raw-slice doc 5 sharing
+    // the target's words) outscore the junk-vocabulary docs
+    val targetLike = Seq(0L, 1L, 2L, 5L).map(got)
+    val junk = Seq(3L, 4L, 6L).map(got)
+    assert(targetLike.min > junk.max,
+      s"targetLike=$targetLike junk=$junk")
+  }
 }
