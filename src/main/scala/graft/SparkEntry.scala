@@ -877,6 +877,40 @@ object SparkEntry {
       tbl(spark, dir, "documents"), idCol = "doc_id", textCol = "text",
       isTarget = col("lang") === "en", buckets = 64, seed = 7L)
 
+  /** Structured Streaming through the hard gate (§2.9 was spec-only): a
+    * bounded FILE-SOURCE stream over the events parquet runs the
+    * watermarked tumbling aggregation with Trigger.AvailableNow into a
+    * memory sink (complete mode — emits all windows once the bounded input
+    * drains), and the result must equal the batch SQL oracle. Proves the
+    * streaming operator tree — file source, watermark, windowed state
+    * store, sink — is batch-consistent, under the same DuckDB gate as the
+    * batch operators. 30-minute windows so it is not a restatement of q05.
+    */
+  private def q70StreamTumbling(spark: SparkSession, dir: String): DataFrame = {
+    val schema = tbl(spark, dir, "events").schema
+    // the file source consumes a landing DIRECTORY (the production shape);
+    // stage the fixture into one via symlink
+    val inDir = java.nio.file.Files.createTempDirectory("graft_stream_in")
+    java.nio.file.Files.createSymbolicLink(
+      inDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = spark.readStream.schema(schema).parquet(inDir.toString)
+      // watermarks require TIMESTAMP (LTZ); the session TZ is pinned UTC so
+      // the NTZ→LTZ cast is the identity mapping the batch oracles use
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val agg = graft.streaming.StreamFeatures.tumbling(
+      stream, "user_id", "ts", "30 minutes",
+      watermarkDelay = "1 hour", valueCol = "value")
+    val q = agg.writeStream.format("memory").queryName("q70_sink")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("q70_sink")
+      .select(col("user_id"), col("win_start"), col("n_events"),
+        round(col("sum_value"), 4).as("sum_value"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pit_asof" -> (q01PitAsof _),
     "q02_latest_per_key" -> (q02LatestPerKey _),
@@ -946,7 +980,8 @@ object SparkEntry {
     "q66_token_budget" -> (q66TokenBudget _),
     "q67_composite_asof" -> (q67CompositeAsof _),
     "q68_backfill" -> (q68Backfill _),
-    "q69_dsir_weights" -> (q69DsirWeights _))
+    "q69_dsir_weights" -> (q69DsirWeights _),
+    "q70_stream_tumbling" -> (q70StreamTumbling _))
 
   // ---- generated oracles for the hash-kernel queries -----------------------
   // Round 2 left q22/q23/q24/q26/q32/q39 rows-only because their outputs
@@ -1144,6 +1179,15 @@ object SparkEntry {
     * (q22/q23/q24/q32) replay the portable Mix61/RollingHash arithmetic via
     * macros; q26 recomputes the synthetic multimodal features from their
     * generating formulas; q39's deterministic quantizer is plain SQL.
+    */
+  /** Tokenization note: operators split text on `\s+`; several text-stat
+    * oracles below replay that as DuckDB `string_split(text, ' ')` (plus
+    * single-space arithmetic identities like mean word length from
+    * `length - words + 1`), which agrees because the driver-generated
+    * documents fixture is single-spaced with no tabs/newlines in `text`
+    * (TESTDATA.md). Oracles where whitespace handling is load-bearing
+    * (shingling: q14/q40/q44/q63; budgets: q66; DSIR: q69) use
+    * `regexp_split_to_array(text, '\s+')` and hold for any whitespace.
     */
   def oracleSql: Map[String, String] = Map(
     "q22_minhash_lsh" -> q22OracleSql,
@@ -1754,6 +1798,10 @@ object SparkEntry {
         |  CROSS JOIN tt CROSS JOIN rt)
         |SELECT doc_id, CAST(sum(c * llr) AS DOUBLE) / 1e6 AS dsir_weight
         |FROM pd JOIN ratio USING (b) GROUP BY 1""".stripMargin),
+    "q70_stream_tumbling" ->
+      """SELECT user_id, CAST(floor(epoch(ts)/1800)*1800 AS BIGINT) AS win_start,
+        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q62_chunk_windows" ->
       s"""WITH $derivedToksCte,
         |ch AS (SELECT doc_id, CAST(c AS INT) AS chunk_id,
