@@ -153,12 +153,16 @@ object Sampling {
     * [[TextStats.tfIdfTopTerms]]: a rounded SUM can still flip on the
     * rounding boundary; a summed INTEGER cannot.
     *
-    * Shape at scale: explode → per-(doc, bucket) counts is one map-side-
-    * combinable shuffle keyed by (doc, bucket); both models and their
-    * totals are `buckets`-row / 1-row aggregates (tiny — broadcast onto the
-    * count frame, no driver collect); the final per-doc sum re-shuffles on
-    * the doc id only. Documents with no words have no bag-of-words and are
-    * absent from the output, mirroring the reference method.
+    * Shape at scale: the corpus text is scanned ONCE — explode → one
+    * map-side-combinable shuffle to the compact (doc, bucket) count frame
+    * (≤ `buckets` rows per doc), which is cached and feeds everything
+    * downstream: BOTH bag-of-words models come out of a single
+    * `buckets`-row aggregation over it (target counts via a conditional
+    * sum, so no second corpus pass), totals are a 1-row aggregate of that,
+    * the log-ratio table broadcasts back (no driver collect), and the
+    * final per-doc sum re-shuffles the count frame on the doc id only.
+    * Documents with no words have no bag-of-words and are absent from the
+    * output, mirroring the reference method.
     */
   def importanceWeights(
       df: DataFrame,
@@ -177,17 +181,16 @@ object Sampling {
           lit(buckets.toLong)).as("__b"))
       .groupBy(col(idCol), col("__b"))
       .agg(count(lit(1)).as("__c"), max(col("__t")).as("__t"))
-    val targetModel = perDoc.where(col("__t"))
-      .groupBy(col("__b")).agg(sum(col("__c")).as("__tc"))
-    val rawModel = perDoc.groupBy(col("__b")).agg(sum(col("__c")).as("__rc"))
-    val targetTotal = targetModel.select(sum(col("__tc")).as("__tn"))
-    val rawTotal = rawModel.select(sum(col("__rc")).as("__rn"))
+      .cache()
+    val models = perDoc.groupBy(col("__b")).agg(
+      sum(when(col("__t"), col("__c")).otherwise(lit(0L))).as("__tc"),
+      sum(col("__c")).as("__rc"))
+    val totals = models.select(
+      sum(col("__tc")).as("__tn"), sum(col("__rc")).as("__rn"))
     val spine = df.sparkSession.range(buckets).select(col("id").as("__b"))
     val logRatio = spine
-      .join(targetModel, Seq("__b"), "left")
-      .join(rawModel, Seq("__b"), "left")
-      .crossJoin(broadcast(targetTotal))
-      .crossJoin(broadcast(rawTotal))
+      .join(models, Seq("__b"), "left")
+      .crossJoin(broadcast(totals))
       .select(col("__b"), round((
         log((coalesce(col("__tc"), lit(0L)) + 1).cast("double") /
           (col("__tn") + buckets)) -
