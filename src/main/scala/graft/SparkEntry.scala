@@ -25,6 +25,28 @@ object SparkEntry {
 
   private def ts(s: String) = java.sql.Timestamp.from(Instant.parse(s))
 
+  /** Scratch directory for fixture-staging queries (q68 backfill table +
+    * checkpoint log, q70-q73 stream landing dirs, q74/q75 encoded payloads):
+    * registers a JVM-exit recursive delete so repeated Verify/Bench/Plans
+    * runs don't accumulate orphaned temp data under /tmp. Deletion is
+    * deferred to exit because callers return LAZY frames over these paths —
+    * the driver materializes them after the query function returns.
+    */
+  private def scratchDir(prefix: String): java.nio.file.Path = {
+    import java.nio.file.{Files, Path}
+    val p = Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      import scala.jdk.CollectionConverters._
+      if (Files.exists(p)) {
+        val walk = Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(f => Files.deleteIfExists(f))
+        finally walk.close()
+      }
+    }
+    p
+  }
+
   /** Flagship: multi-view point-in-time retrieval on sf0.001 events. */
   def entry(spark: SparkSession): DataFrame =
     q12MultiView(spark, "/root/testdata/sf0.001")
@@ -851,7 +873,7 @@ object SparkEntry {
     * the distributed work is inside Backfill.run.
     */
   private def q68Backfill(spark: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft_backfill").toString
+    val root = scratchDir("graft_backfill").toString
     val table = SnapshotTable(s"$root/table")
     val ckpt = s"$root/ckpt.jsonl"
     val ev = tbl(spark, dir, "events")
@@ -887,28 +909,120 @@ object SparkEntry {
     * batch operators. 30-minute windows so it is not a restatement of q05.
     */
   private def q70StreamTumbling(spark: SparkSession, dir: String): DataFrame = {
+    val agg = graft.streaming.StreamFeatures.tumbling(
+      stagedEventsStream(spark, dir), "user_id", "ts", "30 minutes",
+      watermarkDelay = "1 hour", valueCol = "value")
+    runBoundedStream(spark, agg, "q70_sink", "complete")
+      .select(col("user_id"), col("win_start"), col("n_events"),
+        round(col("sum_value"), 4).as("sum_value"))
+  }
+
+  /** Stage the events fixture into a landing DIRECTORY (the production
+    * file-source shape) via symlink and open it as a bounded stream. The
+    * fixture is a single parquet path, so Trigger.AvailableNow drains it in
+    * ONE micro-batch (file source default maxFilesPerTrigger=1000) — which
+    * is what makes update/append-mode emissions of the bounded stream equal
+    * the batch semantics without a watermark-advancing sentinel batch.
+    */
+  private def stagedEventsStream(spark: SparkSession, dir: String,
+      flushSentinel: Boolean = false): DataFrame = {
     val schema = tbl(spark, dir, "events").schema
-    // the file source consumes a landing DIRECTORY (the production shape);
-    // stage the fixture into one via symlink
-    val inDir = java.nio.file.Files.createTempDirectory("graft_stream_in")
+    val inDir = scratchDir("graft_stream_in")
     java.nio.file.Files.createSymbolicLink(
       inDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
-    val stream = spark.readStream.schema(schema).parquet(inDir.toString)
+    if (flushSentinel) {
+      // one far-future row (user_id = -1, filtered by callers): drives the
+      // event-time watermark past every real session/window end so APPEND
+      // mode aggregations flush their state in the trailing no-data batch —
+      // the bounded-stream analogue of "the topic keeps producing"
+      tbl(spark, dir, "events").limit(1)
+        .withColumn("user_id", lit(-1L))
+        .withColumn("ts", to_timestamp(lit("2100-01-01 00:00:00"))
+          .cast(schema("ts").dataType))
+        .coalesce(1).write.mode("append").parquet(inDir.toString)
+    }
+    spark.readStream.schema(schema).parquet(inDir.toString)
       // watermarks require TIMESTAMP (LTZ); the session TZ is pinned UTC so
       // the NTZ→LTZ cast is the identity mapping the batch oracles use
       .withColumn("ts", col("ts").cast("timestamp"))
-    val agg = graft.streaming.StreamFeatures.tumbling(
-      stream, "user_id", "ts", "30 minutes",
-      watermarkDelay = "1 hour", valueCol = "value")
-    val q = agg.writeStream.format("memory").queryName("q70_sink")
-      .outputMode("complete")
+  }
+
+  /** Run a bounded streaming frame to completion into a memory sink and
+    * return the sink table (unique sink name per query — memory sinks are
+    * session-global).
+    */
+  private def runBoundedStream(spark: SparkSession, frame: DataFrame,
+      sinkName: String, mode: String): DataFrame = {
+    val q = frame.writeStream.format("memory").queryName(sinkName)
+      .outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table("q70_sink")
+    spark.table(sinkName)
+  }
+
+  /** §2.9 sliding windows through the hard gate (spec-only in r3): 2-hour
+    * windows sliding by 30 minutes over the bounded events stream, complete
+    * mode (same harness as q70), vs the cross-join batch oracle (q06 shape,
+    * different geometry so it is not a restatement).
+    */
+  private def q71StreamSliding(spark: SparkSession, dir: String): DataFrame = {
+    val agg = graft.streaming.StreamFeatures.sliding(
+      stagedEventsStream(spark, dir), "user_id", "ts",
+      width = "2 hours", slide = "30 minutes",
+      watermarkDelay = "1 hour", valueCol = "value")
+    runBoundedStream(spark, agg, "q71_sink", "complete")
       .select(col("user_id"), col("win_start"), col("n_events"),
         round(col("sum_value"), 4).as("sum_value"))
+  }
+
+  /** §2.9 gap sessionization through the hard gate: `session_window` with a
+    * 30-minute gap in APPEND mode (the only mode Spark supports for merging
+    * session windows) — a far-future sentinel row pushes the watermark past
+    * every real session's end, so the trailing no-data micro-batch emits
+    * each session exactly once with its final extent. Session-window
+    * semantics differ from the batch sessionizer (q07) on the boundary: an
+    * event at exactly `prev + gap` opens a NEW session (windows are
+    * [ts, ts+gap)), and the session end is `last_ts + gap` — the oracle
+    * encodes exactly that, so this is a real second semantics, not a
+    * restatement of q07.
+    */
+  private def q72StreamSession(spark: SparkSession, dir: String): DataFrame = {
+    val agg = graft.streaming.StreamFeatures.sessionize(
+      stagedEventsStream(spark, dir, flushSentinel = true),
+      "user_id", "ts", gap = "30 minutes",
+      watermarkDelay = "1 hour", valueCol = "value")
+    runBoundedStream(spark, agg, "q72_sink", "append")
+      .where(col("user_id") =!= -1L)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), round(col("sum_value"), 4).as("sum_value"))
+  }
+
+  /** §2.9 stateful streaming as-of enrichment through the hard gate:
+    * purchases are the feature stream, views the probe stream, unioned per
+    * key through `flatMapGroupsWithState` (O(1) state/key). The bounded
+    * input arrives as ONE micro-batch, where the operator's documented
+    * contract is exact batch-join equivalence (inclusive <=, created-ts
+    * tie-break, 4-hour TTL null-fill) — the oracle is the q08-shaped SQL.
+    */
+  private def q73StreamAsOf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = stagedEventsStream(spark, dir)
+      .where(col("event_type").isin("purchase", "view"))
+      .select(
+        col("user_id").cast("string").as("key"),
+        col("ts"),
+        (col("event_type") === "purchase").as("is_feature"),
+        col("event_id").as("created"),
+        col("value"))
+      .as[graft.streaming.AsOfEvent]
+    val enriched = graft.streaming.StreamFeatures
+      .asOfEnrich(ev, ttlSeconds = 4L * 3600).toDF()
+    runBoundedStream(spark, enriched, "q73_sink", "append")
+      .select(col("key").cast("bigint").as("user_id"),
+        col("probe_ts").as("ts"),
+        round(col("value"), 4).as("purchase_value"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -981,7 +1095,10 @@ object SparkEntry {
     "q67_composite_asof" -> (q67CompositeAsof _),
     "q68_backfill" -> (q68Backfill _),
     "q69_dsir_weights" -> (q69DsirWeights _),
-    "q70_stream_tumbling" -> (q70StreamTumbling _))
+    "q70_stream_tumbling" -> (q70StreamTumbling _),
+    "q71_stream_sliding" -> (q71StreamSliding _),
+    "q72_stream_session" -> (q72StreamSession _),
+    "q73_stream_asof" -> (q73StreamAsOf _))
 
   // ---- generated oracles for the hash-kernel queries -----------------------
   // Round 2 left q22/q23/q24/q26/q32/q39 rows-only because their outputs
@@ -1753,8 +1870,8 @@ object SparkEntry {
         |      x -> x <> '')) AS BIGINT) AS n_tok
         |  FROM documents),
         |c AS (SELECT doc_id, source, n_tok,
-        |    SUM(n_tok) OVER (PARTITION BY source
-        |      ORDER BY mix61(doc_id, 13), doc_id) AS cum_tokens
+        |    CAST(SUM(n_tok) OVER (PARTITION BY source
+        |      ORDER BY mix61(doc_id, 13), doc_id) AS BIGINT) AS cum_tokens
         |  FROM d)
         |SELECT doc_id, source, n_tok, cum_tokens FROM c
         |WHERE cum_tokens <= 600""".stripMargin),
@@ -1802,6 +1919,41 @@ object SparkEntry {
       """SELECT user_id, CAST(floor(epoch(ts)/1800)*1800 AS BIGINT) AS win_start,
         |  count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // q71-q73 oracles compute on epoch_us (exact BIGINT micros) — the
+    // fixtures are microsecond-resolution and epoch() is a DOUBLE whose ULP
+    // near 2024 epoch-seconds is ~0.5us, so floor()/boundary comparisons on
+    // it could misround; integer micros cannot.
+    "q71_stream_sliding" ->
+      """SELECT user_id,
+        |  CAST((epoch_us(ts) // 1800000000 - k) * 1800 AS BIGINT) AS win_start,
+        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) t(k) GROUP BY 1, 2""".stripMargin,
+    "q72_stream_session" ->
+      """WITH b AS (SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, value,
+        |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM b)
+        |SELECT user_id,
+        |  CAST(epoch_us(min(ts)) // 1000000 AS BIGINT) AS session_start,
+        |  CAST(epoch_us(max(ts)) // 1000000 + 1800 AS BIGINT) AS session_end,
+        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q73_stream_asof" ->
+      """WITH ent AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+        |feat AS (SELECT event_id AS f_id, user_id, ts AS f_ts, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT e.event_id, e.user_id, e.ts, f.value,
+        |        ROW_NUMBER() OVER (PARTITION BY e.event_id
+        |          ORDER BY f.f_ts DESC, f.f_id DESC) rn
+        |      FROM ent e LEFT JOIN feat f ON e.user_id = f.user_id
+        |        AND f.f_ts <= e.ts AND f.f_ts >= e.ts - INTERVAL 4 HOUR)
+        |SELECT user_id, ts, round(value, 4) AS purchase_value
+        |FROM j WHERE rn = 1""".stripMargin,
     "q62_chunk_windows" ->
       s"""WITH $derivedToksCte,
         |ch AS (SELECT doc_id, CAST(c AS INT) AS chunk_id,

@@ -411,10 +411,16 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
       driverMaxEdges: Long = 2000000L): DataFrame = {
-    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
-      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+    // canonicalize direction first so the gate counts (and the driver path
+    // collects) each undirected edge exactly ONCE — the documented budget
+    val undirected = pairs.select(
+        least(col("id1"), col("id2")).as("a"),
+        greatest(col("id1"), col("id2")).as("b"))
       .distinct().localCheckpoint()
-    if (edges.count() <= driverMaxEdges) return driverComponents(edges)
+    if (undirected.count() <= driverMaxEdges) return driverComponents(undirected)
+    val edges = undirected
+      .union(undirected.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint()
     var changed = 1L
@@ -438,14 +444,26 @@ object Dedup {
 
   /** Driver-side union-find over a small collected edge list (the
     * below-the-gate branch of [[connectedComponents]]): path-halving find +
-    * union by rank, then component = min id per root under the id type's
-    * natural ordering (ids are numeric or string — Comparable). The result
-    * is a local relation, so downstream joins against it broadcast.
+    * union by rank, then component = min id per root under SPARK's ordering
+    * for the id type — strings compare by UTF-8 bytes and binary ids by
+    * unsigned bytes, exactly like the distributed path's `least`, so both
+    * paths elect the same representative for any input (incl. non-BMP
+    * strings). Unsupported id types fail fast with a clear message. The
+    * result is a local relation, so downstream joins against it broadcast.
     */
   private def driverComponents(edges: DataFrame): DataFrame = {
     import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
     val spark = edges.sparkSession
     val idType = edges.schema("a").dataType
+    idType match {
+      case _: StringType | _: NumericType | _: BinaryType | _: DateType |
+          _: TimestampType | _: TimestampNTZType | _: BooleanType => ()
+      case other => throw new IllegalArgumentException(
+        s"connectedComponents: id type $other is not supported for " +
+          "representative election — use string, binary, numeric, date, " +
+          "timestamp, or boolean ids")
+    }
     val rows = edges.collect()
     val index = scala.collection.mutable.HashMap.empty[Any, Int]
     val ids = scala.collection.mutable.ArrayBuffer.empty[Any]
@@ -468,7 +486,14 @@ object Dedup {
         else { parent(rb) = ra; rank(ra) += 1 }
       }
     }
-    def lt(x: Any, y: Any): Boolean = x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    def lt(x: Any, y: Any): Boolean = (x, y) match {
+      case (a: String, b: String) => // UTF-8 byte order = Spark's UTF8String
+        java.util.Arrays.compareUnsigned(
+          a.getBytes("UTF-8"), b.getBytes("UTF-8")) < 0
+      case (a: Array[Byte], b: Array[Byte]) => // unsigned = Spark's BinaryType
+        java.util.Arrays.compareUnsigned(a, b) < 0
+      case _ => x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    }
     val minOfRoot = new Array[Any](n)
     (0 until n).foreach { i =>
       val r = find(i)

@@ -149,22 +149,26 @@ object StreamFeatures {
       events: Dataset[AsOfEvent],
       ttlSeconds: Long): Dataset[AsOfEnriched] = {
     import events.sparkSession.implicits._
+    // compare at MICROsecond precision (Timestamp.getTime truncates to
+    // millis; Spark timestamps and the batch join are micro-exact)
+    def us(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     events
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: String, rows: Iterator[AsOfEvent], state: GroupState[AsOfStateRow]) =>
           val sorted = rows.toSeq.sortBy(e =>
-            (e.ts.getTime, if (e.is_feature) 0 else 1, e.created))
+            (us(e.ts), if (e.is_feature) 0 else 1, e.created))
           var cur = state.getOption
           val out = Seq.newBuilder[AsOfEnriched]
           sorted.foreach { e =>
             if (e.is_feature) {
-              if (cur.forall(c => e.ts.getTime > c.ts ||
-                  (e.ts.getTime == c.ts && e.created >= c.created)))
-                cur = Some(AsOfStateRow(e.ts.getTime, e.created, e.value))
+              if (cur.forall(c => us(e.ts) > c.ts ||
+                  (us(e.ts) == c.ts && e.created >= c.created)))
+                cur = Some(AsOfStateRow(us(e.ts), e.created, e.value))
             } else {
               val hit = cur.filter(c =>
-                c.ts <= e.ts.getTime && c.ts >= e.ts.getTime - ttlSeconds * 1000L)
+                c.ts <= us(e.ts) && c.ts >= us(e.ts) - ttlSeconds * 1000000L)
               out += AsOfEnriched(key, e.ts, hit.map(_.value))
             }
           }
