@@ -325,6 +325,23 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_lines"), round(sum(col("l_quantity")), 4).as("sum_qty"))
   }
 
+  /** S6: JSON ingest round trip (reference loaders/ingest.py:123-166 reads
+    * csv/json/parquet through one seam) — write line-delimited JSON with
+    * sized parallelism, read back with an explicit schema (schema-on-read:
+    * never infer in production — an inference pass is a second full scan),
+    * aggregate per key. Completes the S6 format matrix next to q28 (CSV).
+    */
+  private def q76JsonIngest(spark: SparkSession, dir: String): DataFrame = {
+    val out = "/tmp/graft_verify_sink/q76"
+    val orders = tbl(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    orders.repartition(8).write.mode("overwrite").json(out)
+    spark.read.schema(orders.schema).json(out)
+      .groupBy(col("o_custkey").as("cust_key"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 4).as("sum_price"))
+  }
+
   /** A2/W1: the reference's SQL-path latest (ROW_NUMBER()=1 window) —
     * cross-checks the max_by aggregate variant of q02.
     */
@@ -357,7 +374,7 @@ object SparkEntry {
     * manifest-selected files only, so the result must equal snapshot 1.
     */
   private def q31Snapshot(spark: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    val root = scratchDir("graft_snap").toString
     val t = SnapshotTable(root)
     val latest = Materialize.latestPerKey(
       tbl(spark, dir, "events"), Seq("user_id"), "ts", ties = Seq("event_id"))
@@ -1025,6 +1042,135 @@ object SparkEntry {
         round(col("value"), 4).as("purchase_value"))
   }
 
+  /** Typed encode-input frame shared by the q74/q75 payload round-trips:
+    * plaintext columns the oracle can recompute from, with the timestamp
+    * pre-flattened to integer micros (the NTZ column never crosses the
+    * codec boundary).
+    */
+  private def wireInput(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "events").select(
+      col("event_id"),
+      col("user_id"),
+      unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+      col("event_type").as("tag"),
+      col("value"))
+
+  /** §2.9 binary Avro decode through the hard gate (spec-only in r3): the
+    * events table is ENCODED into real Avro wire payloads (GenericDatumWriter
+    * on the core avro library) in one distributed pass, decoded back through
+    * the same [[graft.streaming.StreamFeatures.decode]] path a Kafka stream
+    * would use (StreamFormat.Avro + field mapping, reference
+    * data_format.py:109-133), and the oracle recomputes every output column
+    * from the plaintext table — so a decode bug anywhere (varint zigzag,
+    * union null branch, array framing, UTF-8) breaks the hash. Exercises a
+    * nullable union ([null,double] — null for 'error' rows), a packed int
+    * array, strings, and longs.
+    */
+  private def q74AvroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val schemaJson =
+      """{"type":"record","name":"Ev","fields":[
+        |{"name":"uid","type":"long"},
+        |{"name":"ts_us","type":"long"},
+        |{"name":"tag","type":"string"},
+        |{"name":"v","type":["null","double"]},
+        |{"name":"toks","type":{"type":"array","items":"int"}}]}""".stripMargin
+    val payloads = wireInput(spark, dir).mapPartitions { it =>
+      import org.apache.avro.Schema
+      import org.apache.avro.generic.{GenericData, GenericDatumWriter}
+      import org.apache.avro.io.{BinaryEncoder, EncoderFactory}
+      val schema = new Schema.Parser().parse(schemaJson)
+      val writer = new GenericDatumWriter[GenericData.Record](schema)
+      val out = new java.io.ByteArrayOutputStream()
+      var enc: BinaryEncoder = null
+      it.map { r =>
+        out.reset()
+        val eventId = r.getLong(0)
+        val rec = new GenericData.Record(schema)
+        rec.put("uid", r.getLong(1))
+        rec.put("ts_us", r.getLong(2))
+        rec.put("tag", r.getString(3))
+        rec.put("v",
+          if (r.getString(3) == "error") null
+          else java.lang.Double.valueOf(r.getDouble(4)))
+        rec.put("toks", java.util.Arrays.asList(
+          Int.box((eventId % 7).toInt), Int.box((eventId % 11).toInt)))
+        enc = EncoderFactory.get().binaryEncoder(out, enc)
+        writer.write(rec, enc)
+        enc.flush()
+        out.toByteArray
+      }
+    }(Encoders.BINARY).toDF("value")
+    val source = graft.model.StreamSource(
+      topic = "events", bootstrapServers = "broker:9092",
+      format = graft.model.StreamFormat.Avro(schemaJson),
+      eventTimestampColumn = "ts_us",
+      fieldMapping = Map("uid" -> "user_id"))
+    graft.streaming.StreamFeatures.decode(payloads, source)
+      .select(col("user_id"), col("ts_us"), col("tag"),
+        round(col("v"), 4).as("v"),
+        array_join(col("toks").cast("array<string>"), ",").as("toks_str"))
+  }
+
+  /** §2.9 protobuf wire-format decode through the hard gate (spec-only in
+    * r3): events rows are encoded into proto3 wire bytes by a 20-line
+    * SparkEntry-local encoder written straight from the public encoding spec
+    * (varint, zigzag sint64, packed repeated, 8-byte LE double,
+    * length-delimited UTF-8 — it shares NO code with
+    * [[graft.streaming.ProtoDecode]]), decoded back through the declared
+    * [[graft.model.ProtoField]] descriptor, and verified column-by-column
+    * against the plaintext oracle. `delta` is a NEGATIVE sint64 so the
+    * zigzag path is load-bearing in the gate, not just in specs.
+    */
+  private def q75ProtoRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import graft.model.{ProtoField, ProtoType}
+    val fields = Seq(
+      ProtoField(1, "uid", ProtoType.Int64),
+      ProtoField(2, "ts_us", ProtoType.Int64),
+      ProtoField(3, "tag", ProtoType.StringT),
+      ProtoField(4, "v", ProtoType.DoubleT),
+      ProtoField(5, "toks", ProtoType.RepInt32),
+      ProtoField(6, "delta", ProtoType.SInt64))
+    val payloads = wireInput(spark, dir).mapPartitions { it =>
+      def vint(v: Long): Array[Byte] = {
+        val out = scala.collection.mutable.ArrayBuffer[Byte]()
+        var x = v; var more = true
+        while (more) {
+          val b = (x & 0x7f).toInt; x = x >>> 7; more = x != 0
+          out += (if (more) (b | 0x80).toByte else b.toByte)
+        }
+        out.toArray
+      }
+      def key(n: Int, wt: Int) = vint((n.toLong << 3) | wt)
+      def le64(v: Long): Array[Byte] =
+        (0 until 8).map(i => ((v >>> (8 * i)) & 0xff).toByte).toArray
+      def delim(n: Int, payload: Array[Byte]): Array[Byte] =
+        key(n, 2) ++ vint(payload.length.toLong) ++ payload
+      def zz64(v: Long): Long = (v << 1) ^ (v >> 63)
+      it.map { r =>
+        val eventId = r.getLong(0)
+        key(1, 0) ++ vint(r.getLong(1)) ++
+          key(2, 0) ++ vint(r.getLong(2)) ++
+          delim(3, r.getString(3).getBytes("UTF-8")) ++
+          key(4, 1) ++ le64(java.lang.Double.doubleToLongBits(r.getDouble(4))) ++
+          delim(5, vint(eventId % 7) ++ vint(eventId % 11) ++
+            vint(300 + eventId % 5)) ++ // packed repeated int32
+          key(6, 0) ++ vint(zz64(-(eventId % 1000))) // negative -> zigzag
+      }
+    }(Encoders.BINARY).toDF("value")
+    val source = graft.model.StreamSource(
+      topic = "events", bootstrapServers = "broker:9092",
+      format = graft.model.StreamFormat.Proto("graft.Ev", fields),
+      eventTimestampColumn = "ts_us",
+      fieldMapping = Map("uid" -> "user_id"))
+    graft.streaming.StreamFeatures.decode(payloads, source)
+      .select(col("user_id"), col("ts_us"), col("tag"),
+        round(col("v"), 4).as("v"),
+        array_join(col("toks").cast("array<string>"), ",").as("toks_str"),
+        col("delta"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pit_asof" -> (q01PitAsof _),
     "q02_latest_per_key" -> (q02LatestPerKey _),
@@ -1098,7 +1244,10 @@ object SparkEntry {
     "q70_stream_tumbling" -> (q70StreamTumbling _),
     "q71_stream_sliding" -> (q71StreamSliding _),
     "q72_stream_session" -> (q72StreamSession _),
-    "q73_stream_asof" -> (q73StreamAsOf _))
+    "q73_stream_asof" -> (q73StreamAsOf _),
+    "q74_avro_roundtrip" -> (q74AvroRoundtrip _),
+    "q75_proto_roundtrip" -> (q75ProtoRoundtrip _),
+    "q76_json_ingest" -> (q76JsonIngest _))
 
   // ---- generated oracles for the hash-kernel queries -----------------------
   // Round 2 left q22/q23/q24/q26/q32/q39 rows-only because their outputs
@@ -1943,6 +2092,23 @@ object SparkEntry {
         |  CAST(epoch_us(max(ts)) // 1000000 + 1800 AS BIGINT) AS session_end,
         |  count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q76_json_ingest" ->
+      """SELECT o_custkey AS cust_key, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 4) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q74_avro_roundtrip" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, event_type AS tag,
+        |  CASE WHEN event_type = 'error' THEN NULL ELSE round(value, 4) END AS v,
+        |  CAST(event_id % 7 AS VARCHAR) || ',' ||
+        |    CAST(event_id % 11 AS VARCHAR) AS toks_str
+        |FROM events""".stripMargin,
+    "q75_proto_roundtrip" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, event_type AS tag,
+        |  round(value, 4) AS v,
+        |  CAST(event_id % 7 AS VARCHAR) || ',' || CAST(event_id % 11 AS VARCHAR)
+        |    || ',' || CAST(300 + event_id % 5 AS VARCHAR) AS toks_str,
+        |  -(event_id % 1000) AS delta
+        |FROM events""".stripMargin,
     "q73_stream_asof" ->
       """WITH ent AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
         |feat AS (SELECT event_id AS f_id, user_id, ts AS f_ts, value
