@@ -102,6 +102,42 @@ object VectorOps {
     acc
   }
 
+  // -- Array[Float] twins of the ArrayData kernels --------------------------
+  // Used by the large-k scan kernels in [[graft.ops.Similarity]] (centroid
+  // counts past the literal-projection gate): SAME floating-point operations
+  // in the SAME order as the expression path, so cell assignments and
+  // distances are bit-identical across the two paths (proven in
+  // SimilarityGateSpec).
+
+  def dot(x: Array[Float], y: Array[Float]): Double = {
+    val n = math.min(x.length, y.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x(i).toDouble * y(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  def l2sq(x: Array[Float], y: Array[Float]): Double = {
+    val n = math.min(x.length, y.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x(i).toDouble - y(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  /** Scalar cosine — the exact op sequence of [[graft.ops.Similarity.cosine]]
+    * (dot / (sqrt·sqrt), double throughout).
+    */
+  def cosine(x: Array[Float], y: Array[Float]): Double =
+    dot(x, y) / (math.sqrt(dot(x, x)) * math.sqrt(dot(y, y)))
+
   /** Column API (Spark 4: Column↔Expression via the sql-package shim). */
   def dot_f(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graftshim

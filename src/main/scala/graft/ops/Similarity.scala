@@ -18,6 +18,64 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Literal-projection gate for IVF/PQ centroid work: up to this many
+    * centroids, distances against the quantizer are inlined as LITERAL
+    * vectors in one codegen'd projection (no join, no row expansion — see
+    * [[ivfTopK]]/[[pqEncode]]). Past it that expression stops being viable:
+    * production IVF scale (k = 2^16 cells × 64 dims) would inline megabytes
+    * of literals into the plan and generate methods far past the JVM's
+    * 64 KB / JIT-inlining limits. Above the gate the operators switch to a
+    * broadcast-variable scan kernel — centroids ship once per executor,
+    * each row loops over them inside one `mapPartitions` pass (the
+    * genuinely-imperative per-row-argmin shape; zero shuffles either way).
+    * Both paths run IDENTICAL floating-point operations in IDENTICAL order
+    * (the `Array[Float]` twins in [[graft.functions.VectorOps]]), proven
+    * byte-equal in SimilarityGateSpec — same size-gate calculus as
+    * [[Dedup.connectedComponents]]'s driverMaxEdges.
+    */
+  val defaultMaxLiteralCentroids = 256
+
+  /** Scan-kernel cell ranking for centroid counts past the literal gate:
+    * emits (outId, __vec, __cells = the `nRanked` best cell ids, best
+    * first, ties by centroid order). `cents` MUST be sorted by cell id
+    * ascending (both producers are: lowest-id seeds arrive via
+    * `orderBy(id)`, trained centroids are indexed 0..k-1), which makes
+    * index-order tie-breaking identical to the literal path's cid-asc
+    * tie-break. Embeddings are assumed NaN-free (zero vectors would score
+    * NaN against every centroid in BOTH paths).
+    */
+  private def rankedCellsScan(
+      df: DataFrame,
+      idCol: String,
+      outId: String,
+      vecCol: String,
+      cents: Seq[(Any, Seq[Float])],
+      nRanked: Int,
+      cidType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
+    val bc = df.sparkSession.sparkContext.broadcast(
+      cents.map { case (cid, v) => (cid, v.toArray) }.toArray)
+    val base = df.select(col(idCol).as(outId), col(vecCol).as("__vec"))
+    val outSchema = StructType(base.schema.fields :+
+      StructField("__cells", ArrayType(cidType, containsNull = false)))
+    base.mapPartitions { it =>
+      val cs = bc.value
+      it.map { r =>
+        val v = r.getSeq[Float](1).toArray
+        val sims = new Array[Double](cs.length)
+        var i = 0
+        while (i < cs.length) {
+          sims(i) = graft.functions.VectorOps.cosine(v, cs(i)._2)
+          i += 1
+        }
+        val order = Array.range(0, cs.length)
+          .sortBy(j => (-sims(j), j)).take(nRanked)
+        Row(r.get(0), r.get(1), order.map(cs(_)._1).toSeq)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** cosine(a, b) with double accumulation, index order (reproducible).
     * The dot kernel is the native codegen [[graft.functions.DotProduct]]
     * expression — same FP order as the zip_with/aggregate formulation it
@@ -105,7 +163,8 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      iters: Int): Seq[Array[Float]] = {
+      iters: Int,
+      maxLiteralCentroids: Int = defaultMaxLiteralCentroids): Seq[Array[Float]] = {
     var cents: Seq[Array[Float]] = corpus.select(col(idCol), col(vecCol))
       .orderBy(col(idCol)).limit(k).collect()
       .map(_.getSeq[Float](1).toArray).toSeq
@@ -114,14 +173,24 @@ object Similarity {
       // equals the greatest. array_position evaluates each cosine once;
       // the when-chain fold it replaces duplicated every similarity into a
       // k-deep CASE (2·k cosines in one expression tree — JIT-hostile, see
-      // pqEncode)
-      val simArr = array(cents.map(cvec => cosine(col(vecCol), typedLit(cvec.toSeq))): _*)
-      val best = (array_position(simArr, array_max(simArr)) - 1).cast("int")
+      // pqEncode). Past the literal gate the assignment comes from the same
+      // broadcast scan kernel ivfTopK uses (identical argmax tie rule).
+      val assigned =
+        if (cents.size <= maxLiteralCentroids) {
+          val simArr = array(cents.map(cvec =>
+            cosine(col(vecCol), typedLit(cvec.toSeq))): _*)
+          val best = (array_position(simArr, array_max(simArr)) - 1).cast("int")
+          corpus.select(best.as("__cid"), posexplode(col(vecCol)))
+        } else rankedCellsScan(
+            corpus, idCol, "__id", vecCol,
+            cents.zipWithIndex.map { case (v, i) => (i: Any, v.toSeq) }, 1,
+            org.apache.spark.sql.types.IntegerType)
+          .select(element_at(col("__cells"), 1).as("__cid"),
+            posexplode(col("__vec")))
       // per-dimension mean via posexplode: rows stay (cid, dim, x) narrow,
       // partials combine map-side; the re-assembled vector per cell is
       // bounded by the embedding dimension
-      val means = corpus
-        .select(best.as("__cid"), posexplode(col(vecCol)))
+      val means = assigned
         .groupBy(col("__cid"), col("pos"))
         .agg(avg(col("col")).as("__m"))
         .groupBy(col("__cid"))
@@ -159,14 +228,16 @@ object Similarity {
       k: Int,
       nCentroids: Int,
       nProbe: Int,
-      trainIters: Int = 0): DataFrame = {
+      trainIters: Int = 0,
+      maxLiteralCentroids: Int = defaultMaxLiteralCentroids): DataFrame = {
     // planning-time collect of nCentroids rows — same class of driver-side
     // scalar as Skew.detectHotKeys / Materialize.timestampBounds. With
     // trainIters > 0 the quantizer is Lloyd-refined ([[trainCentroids]]);
     // either way centroids are deterministic.
     val cents: Seq[(Any, Seq[Float])] =
       if (trainIters > 0)
-        trainCentroids(corpus, idCol, vecCol, nCentroids, trainIters)
+        trainCentroids(corpus, idCol, vecCol, nCentroids, trainIters,
+            maxLiteralCentroids)
           .zipWithIndex.map { case (v, i) => (i: Any, v.toSeq) }
       else corpus.select(col(idCol), col(vecCol))
         .orderBy(col(idCol)).limit(nCentroids).collect()
@@ -184,13 +255,28 @@ object Similarity {
         .when(l.getField("cid") > r.getField("cid"), 1)
         .otherwise(0))
 
-    val corpusCells = corpus.select(
-      col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      element_at(rankedCells(col(vecCol)), 1).getField("cid").as("__cid"))
-    val queryCells = queries.select(
-      col(idCol).as("query_id"), col(vecCol).as("__qv"),
-      explode(transform(slice(rankedCells(col(vecCol)), 1, nProbe),
-        c => c.getField("cid"))).as("__cid"))
+    val (corpusCells, queryCells) =
+      if (cents.size <= maxLiteralCentroids) (
+        corpus.select(
+          col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+          element_at(rankedCells(col(vecCol)), 1).getField("cid").as("__cid")),
+        queries.select(
+          col(idCol).as("query_id"), col(vecCol).as("__qv"),
+          explode(transform(slice(rankedCells(col(vecCol)), 1, nProbe),
+            c => c.getField("cid"))).as("__cid")))
+      else {
+        // past the literal gate: broadcast-kernel assignment (see
+        // defaultMaxLiteralCentroids) — same outputs, same single-scan shape
+        val cidType =
+          if (trainIters > 0) org.apache.spark.sql.types.IntegerType
+          else corpus.select(col(idCol)).schema.head.dataType
+        (rankedCellsScan(corpus, idCol, "neighbor_id", vecCol, cents, 1, cidType)
+           .select(col("neighbor_id"), col("__vec").as("__cv"),
+             element_at(col("__cells"), 1).as("__cid")),
+         rankedCellsScan(queries, idCol, "query_id", vecCol, cents, nProbe, cidType)
+           .select(col("query_id"), col("__vec").as("__qv"),
+             explode(col("__cells")).as("__cid")))
+      }
 
     val scored = corpusCells.join(queryCells, Seq("__cid"))
       .where(col("neighbor_id") =!= col("query_id"))
@@ -308,20 +394,58 @@ object Similarity {
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      codebooks: Seq[Seq[Seq[Float]]]): DataFrame = {
+      codebooks: Seq[Seq[Seq[Float]]],
+      maxLiteralCentroids: Int = defaultMaxLiteralCentroids): DataFrame = {
     val m = codebooks.size
     val sub = codebooks.head.head.size
-    val codes = array((0 until m).map { s =>
-      val slc = slice(col(vecCol), s * sub + 1, sub)
-      // argmin with first-index-wins ties: array_position of the min value
-      // evaluates each of the k distances ONCE — the when-chain fold it
-      // replaces duplicated every distance into a k-deep CASE (2·k l2sq
-      // calls per subspace in one expression tree), blowing the generated
-      // method past JIT limits
-      val darr = array(codebooks(s).map(cvec => l2sq(slc, cvec)): _*)
-      (array_position(darr, array_min(darr)) - 1).cast("int")
-    }: _*)
-    corpus.select(col(idCol), codes.as("codes"))
+    if (codebooks.head.size <= maxLiteralCentroids) {
+      val codes = array((0 until m).map { s =>
+        val slc = slice(col(vecCol), s * sub + 1, sub)
+        // argmin with first-index-wins ties: array_position of the min value
+        // evaluates each of the k distances ONCE — the when-chain fold it
+        // replaces duplicated every distance into a k-deep CASE (2·k l2sq
+        // calls per subspace in one expression tree), blowing the generated
+        // method past JIT limits
+        val darr = array(codebooks(s).map(cvec => l2sq(slc, cvec)): _*)
+        (array_position(darr, array_min(darr)) - 1).cast("int")
+      }: _*)
+      corpus.select(col(idCol), codes.as("codes"))
+    } else {
+      // past the literal gate (see defaultMaxLiteralCentroids): broadcast
+      // codebooks, per-row argmin loop with the SAME strict-< first-index-
+      // wins tie rule and the same l2sq FP op order — byte-equal codes
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types.{ArrayType, IntegerType, StructField, StructType}
+      val bc = corpus.sparkSession.sparkContext.broadcast(
+        codebooks.map(_.map(_.toArray).toArray).toArray)
+      val base = corpus.select(col(idCol), col(vecCol).as("__vec"))
+      val outSchema = StructType(Seq(base.schema.head,
+        StructField("codes", ArrayType(IntegerType, containsNull = false))))
+      base.mapPartitions { it =>
+        val cbs = bc.value
+        it.map { r =>
+          val v = r.getSeq[Float](1).toArray
+          val codes = new Array[Int](cbs.length)
+          var s = 0
+          while (s < cbs.length) {
+            val slc = java.util.Arrays.copyOfRange(
+              v, math.min(v.length, s * sub), math.min(v.length, s * sub + sub))
+            val cb = cbs(s)
+            var best = 0
+            var bd = graft.functions.VectorOps.l2sq(slc, cb(0))
+            var j = 1
+            while (j < cb.length) {
+              val d = graft.functions.VectorOps.l2sq(slc, cb(j))
+              if (d < bd) { best = j; bd = d }
+              j += 1
+            }
+            codes(s) = best
+            s += 1
+          }
+          Row(r.get(0), codes.toSeq)
+        }
+      }(Encoders.row(outSchema))
+    }
   }
 
   /** Asymmetric-distance (ADC) top-k: the corpus is scanned as m-byte codes
@@ -338,21 +462,53 @@ object Similarity {
       vecCol: String,
       k: Int,
       codebooks: Seq[Seq[Seq[Float]]],
-      broadcastQueries: Boolean = true): DataFrame = {
+      broadcastQueries: Boolean = true,
+      maxLiteralCentroids: Int = defaultMaxLiteralCentroids): DataFrame = {
     val m = codebooks.size
     val sub = codebooks.head.head.size
-    val c = pqEncode(corpus, idCol, vecCol, codebooks)
+    val c = pqEncode(corpus, idCol, vecCol, codebooks, maxLiteralCentroids)
       .select(col(idCol).as("neighbor_id"), col("codes"))
     val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     val q = if (broadcastQueries) broadcast(q0) else q0
-    val dist = (0 until m).map { s =>
-      val qslc = slice(col("__qv"), s * sub + 1, sub)
-      // codebook s as a literal array-of-arrays; the row's code selects one
-      val cent = element_at(typedLit(codebooks(s)), element_at(col("codes"), s + 1) + 1)
-      graft.functions.VectorOps.l2sq_f(qslc, cent)
-    }.reduce[Column](_ + _)
-    val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
-      .withColumn("dist", round(dist, 4))
+    val joined = c.join(q, col("neighbor_id") =!= col("query_id"))
+    val scored =
+      if (codebooks.head.size <= maxLiteralCentroids) {
+        val dist = (0 until m).map { s =>
+          val qslc = slice(col("__qv"), s * sub + 1, sub)
+          // codebook s as a literal array-of-arrays; the row's code selects one
+          val cent = element_at(typedLit(codebooks(s)), element_at(col("codes"), s + 1) + 1)
+          graft.functions.VectorOps.l2sq_f(qslc, cent)
+        }.reduce[Column](_ + _)
+        joined.withColumn("dist", round(dist, 4))
+      } else {
+        // past the literal gate (see defaultMaxLiteralCentroids): broadcast
+        // codebooks and compute the ADC sum in a scan kernel — same l2sq op
+        // order, same left-to-right subspace summation (0.0 + d0 == d0 for
+        // the non-negative distances), rounding stays in the Column layer
+        import org.apache.spark.sql.{Encoders, Row}
+        import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+        val bc = corpus.sparkSession.sparkContext.broadcast(
+          codebooks.map(_.map(_.toArray).toArray).toArray)
+        val outSchema = StructType(joined.schema.fields :+
+          StructField("__rawdist", DoubleType))
+        joined.mapPartitions { it =>
+          val cbs = bc.value
+          it.map { r =>
+            val codes = r.getSeq[Int](r.fieldIndex("codes"))
+            val qv = r.getSeq[Float](r.fieldIndex("__qv")).toArray
+            var acc = 0.0
+            var s = 0
+            while (s < cbs.length) {
+              val qslc = java.util.Arrays.copyOfRange(
+                qv, math.min(qv.length, s * sub), math.min(qv.length, s * sub + sub))
+              acc += graft.functions.VectorOps.l2sq(qslc, cbs(s)(codes(s)))
+              s += 1
+            }
+            Row.fromSeq(r.toSeq :+ acc)
+          }
+        }(Encoders.row(outSchema))
+          .withColumn("dist", round(col("__rawdist"), 4))
+      }
     val w = Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("neighbor_id").asc)
     scored
       .withColumn("__rn", row_number().over(w))
