@@ -173,6 +173,35 @@ class AsOfJoinSpec extends SparkSpec {
     assert(late(1, false) == expected)
   }
 
+  test("HOT key with ARRAY payload through windowedLate: salted ≡ unsalted, buckets occupied") {
+    // round-3 gap: salting was gate-proven on the direct windowed path (q20)
+    // and windowedLate on scalar payloads, but no test drove a hot key's
+    // WIDE (array) features through the late-materialized path
+    val ents = ((0 until 60).map(i => (i.toLong, "hot", t(10 + i))) ++
+      (60 until 70).map(i => (i.toLong, s"cold${i % 3}", t(10 + i))))
+      .toDF("eid", "key", "ets")
+    val featDf = (0 until 40).map { i =>
+      val key = if (i < 30) "hot" else s"cold${i % 3}"
+      (i.toLong, key, t(i), t(i), (0 to i % 5).map(j => i * 10 + j))
+    }.toDF("fid", "key", "fts", "created", "toks")
+    val sp = AsOfSpec(Seq("key"), "ets", "fts", Some("created"), Some(3600L), Seq("toks"))
+    def run(salt: Int, hot: Seq[Any]): Map[Long, Seq[Int]] =
+      AsOfJoin.windowedLate(ents, featDf, sp, rowId = "fid",
+        saltBuckets = salt, hotKeys = hot)
+        .select(col("eid"), col("toks")).collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else r.getSeq[Int](1))).toMap
+    val plain = run(1, Nil)
+    val salted = run(8, Seq("hot"))
+    assert(salted == plain)
+    assert(plain.values.count(v => v != null && v.nonEmpty) > 30) // real matches
+    // the hot key's entity rows really spread across > 1 salt bucket
+    val occupied = ents.where(col("key") === "hot")
+      .select(pmod(AsOfJoin.saltSource(ents, sp), lit(8)).as("b"))
+      .distinct().count()
+    assert(occupied > 1, s"hot key collapsed into $occupied bucket(s)")
+  }
+
   test("max_age expiry: feature outside ttl yields null (not the stale value)") {
     val ents = Seq(Ent(1, "a", t(100)))
     val feats = Seq(Feat("a", t(10), t(10), 5.0)) // 90 min old
