@@ -378,20 +378,15 @@ object Dedup {
     * representative per duplicate CLUSTER survives (pairwise removal alone
     * over-deletes on chains a~b~c).
     *
-    * Algorithm: hash-min label propagation — per iteration, each node takes
-    * min(own label, neighbors' labels); converges in graph-diameter
-    * iterations (near-dup graphs are shallow: dense cliques of rewrites,
-    * not long chains). Each iteration is ONE equi-join + ONE
-    * map-side-combinable min aggregate, both on (id, label) longs — at
-    * 100 TB this is the standard MapReduce-CC shape (cf. Kiveris et al.,
-    * "Connected Components in MapReduce and Beyond" — large-star/small-star
-    * halves the iteration count and slots in here unchanged if diameters
-    * grow). The loop is driver-side with a per-iteration convergence count
-    * (an iterative algorithm needs an action per step); `localCheckpoint`
-    * truncates lineage so plans stay flat across iterations. The previous
-    * label rides inside the checkpointed frame, so convergence detection is
-    * a filter+count over already-materialized partitions — no extra
-    * join/shuffle per iteration.
+    * Algorithm above the gate: large-star/small-star alternation
+    * ([[starComponents]], Kiveris et al. SoCC 2014) — O(log² n) rounds
+    * REGARDLESS of graph diameter, where each round is two groupBy-min +
+    * two equi-joins on narrow (id, id) rows. Hash-min label propagation
+    * ([[hashMinComponents]]) is retained for comparison: it is one join per
+    * round but needs DIAMETER rounds, which loses from diameter ≈ 8 and
+    * fails outright on chain-shaped duplicate graphs (BENCH/DEDUP.md
+    * "Long-chain CC"). Both loops are driver-side with a per-round
+    * convergence action and `localCheckpoint` to keep plans flat.
     *
     * Size-gated driver path: a near-dup pair list is a tiny fraction of the
     * corpus (pair mining already reduced 100 TB of documents to the rows
@@ -417,7 +412,80 @@ object Dedup {
         least(col("id1"), col("id2")).as("a"),
         greatest(col("id1"), col("id2")).as("b"))
       .distinct().localCheckpoint()
-    if (undirected.count() <= driverMaxEdges) return driverComponents(undirected)
+    if (undirected.count() <= driverMaxEdges) driverComponents(undirected)
+    else starComponents(undirected, maxIter)
+  }
+
+  /** Distributed large-star/small-star CC (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014) — the above-the-gate
+    * path of [[connectedComponents]]. Per round:
+    *
+    *  - large-star: every node u links each STRICTLY LARGER neighbor to the
+    *    minimum of its closed neighborhood (one groupBy-min + one join on
+    *    the bidirectional edge list);
+    *  - small-star: every node u links its ≤ neighbors AND ITSELF to the
+    *    minimum of its small-neighborhood (one groupBy-min + one join on
+    *    the canonical big→small list).
+    *
+    * Both phases preserve connectivity and strictly contract the graph
+    * toward stars; convergence is O(log² n) ROUNDS REGARDLESS OF DIAMETER —
+    * vs hash-min's diameter rounds, which is the difference between 6 and
+    * 64+ joins on a chain-shaped duplicate graph (BENCH/DEDUP.md
+    * "Long-chain CC"). Fixpoint = the edge set stops changing (each round's
+    * check is one count + one left_anti probe on the checkpointed narrow
+    * (a,b) frame). Labels come off the converged star set: every edge is
+    * (node → component-min), roots appear only on the min side.
+    */
+  private[graft] def starComponents(undirected: DataFrame, maxIter: Int = 25,
+      rounds: java.util.concurrent.atomic.AtomicInteger =
+        new java.util.concurrent.atomic.AtomicInteger): DataFrame = {
+    // self-pairs (id1 == id2) carry no connectivity; re-added as self-labels.
+    // Orient big→small (both phases emit that orientation, so a fixpoint
+    // input matches its own output on the first comparison).
+    var e = undirected.where(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val bidir = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      val lsMin = bidir.groupBy(col("a"))
+        .agg(min(col("b")).as("mn"))
+        .select(col("a"), least(col("a"), col("mn")).as("m"))
+      val ls = bidir.join(lsMin, Seq("a")).where(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b")).distinct()
+      val ssMin = ls.groupBy(col("a")).agg(min(col("b")).as("m"))
+      val ss = ls.join(ssMin, Seq("a"))
+        .where(col("b") =!= col("m"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .union(ssMin.select(col("a"), col("m").as("b")))
+        .distinct().localCheckpoint()
+      converged = ss.count() == e.count() &&
+        ss.join(e, Seq("a", "b"), "left_anti").isEmpty
+      e = ss
+      i += 1
+      rounds.set(i)
+    }
+    require(converged, s"starComponents did not converge in $maxIter rounds")
+    val labels = e.select(col("a").as("id"), col("b").as("comp"))
+      .union(e.select(col("b").as("id"), col("b").as("comp")))
+      .distinct()
+    // nodes whose every pair was a self-pair never entered the contraction
+    val allNodes = undirected.select(col("a").as("id"))
+      .union(undirected.select(col("b").as("id"))).distinct()
+    allNodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+  }
+
+  /** Distributed hash-min label propagation (min label over neighbors per
+    * round; converges in graph-DIAMETER rounds). Kept for comparison
+    * benchmarks and as the simplest-possible distributed CC; production
+    * routing uses [[starComponents]] (diameter-independent round count).
+    */
+  private[graft] def hashMinComponents(undirected: DataFrame, maxIter: Int = 25,
+      rounds: java.util.concurrent.atomic.AtomicInteger =
+        new java.util.concurrent.atomic.AtomicInteger): DataFrame = {
     val edges = undirected
       .union(undirected.select(col("b").as("a"), col("a").as("b")))
       .distinct().localCheckpoint()
@@ -437,8 +505,9 @@ object Dedup {
       changed = next.where(col("__prev") =!= col("comp")).count()
       labels = next.select(col("id"), col("comp"))
       i += 1
+      rounds.set(i)
     }
-    require(changed == 0, s"connectedComponents did not converge in $maxIter iterations")
+    require(changed == 0, s"hashMinComponents did not converge in $maxIter iterations")
     labels
   }
 

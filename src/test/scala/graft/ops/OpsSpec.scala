@@ -219,14 +219,14 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
-    // distributed hash-min path (forced via driverMaxEdges = 0) agrees with
+    // distributed star path (forced via driverMaxEdges = 0) agrees with
     // the driver union-find path on the same graph
     val distComp = Dedup.connectedComponents(pairs, driverMaxEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(distComp == comp)
-    // long chain (diameter 40) still converges via hash-min propagation
+    // long chain (diameter 40) converges in far fewer than 40 star rounds
     val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id1", "id2")
-    val chainComp = Dedup.connectedComponents(chain, maxIter = 50,
+    val chainComp = Dedup.connectedComponents(chain, maxIter = 10,
         driverMaxEdges = 0L)
       .collect().map(r => r.getLong(1)).toSet
     assert(chainComp == Set(0L))
@@ -242,6 +242,34 @@ class OpsSpec extends SparkSpec {
     val kept = Dedup.dropNearDuplicates(corpus, "doc_id", pairs)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == ((1L to 25L).toSet -- Set(2L, 3L, 4L, 11L, 12L, 13L, 21L)))
+  }
+
+  test("star ≡ hash-min ≡ union-find; star rounds are diameter-independent") {
+    import spark.implicits._
+    import java.util.concurrent.atomic.AtomicInteger
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // random multigraph incl. self-pairs and isolated nodes
+    val rnd = new scala.util.Random(5)
+    val pairs = (0 until 300)
+      .map(_ => (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .toDF("id1", "id2")
+    val und = pairs.select(least(col("id1"), col("id2")).as("a"),
+      greatest(col("id1"), col("id2")).as("b")).distinct()
+    val star = toMap(Dedup.starComponents(und))
+    val hashMin = toMap(Dedup.hashMinComponents(und, maxIter = 130))
+    val unionFind = toMap(Dedup.connectedComponents(pairs)) // driver path
+    assert(star == hashMin)
+    assert(star == unionFind)
+    // chain of diameter 64: hash-min pays one round per hop, star stays log²
+    val chainUnd = (0L until 64L).map(i => (i, i + 1)).toDF("a", "b")
+    val starRounds = new AtomicInteger
+    val hmRounds = new AtomicInteger
+    val sLab = toMap(Dedup.starComponents(chainUnd, maxIter = 25, rounds = starRounds))
+    val hLab = toMap(Dedup.hashMinComponents(chainUnd, maxIter = 130, rounds = hmRounds))
+    assert(sLab == hLab && sLab.values.toSet == Set(0L))
+    assert(starRounds.get <= 8, s"star took ${starRounds.get} rounds")
+    assert(hmRounds.get >= 30, s"hash-min took only ${hmRounds.get} rounds")
   }
 
   test("cosineNearDup: banded + corpus-scaled finds identical pairs; every pair verified") {
