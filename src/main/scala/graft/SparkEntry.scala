@@ -1171,6 +1171,28 @@ object SparkEntry {
         col("delta"))
   }
 
+  /** S10 keyed-upsert semantics of the online sink through the hard gate
+    * (r3 "What's missing" #4): two OVERLAPPING batches are upserted
+    * sequentially into a snapshot table — click/view/signup first, then
+    * purchase/error, so for many users the SECOND batch's rows are OLDER
+    * than already-stored rows and must LOSE the compaction (max (ts,
+    * event_id) across commits, not last-writer-wins). The read is the raw
+    * compacted table: exactly one row per user, no read-time resolution —
+    * the oracle is latest-per-key over the union.
+    */
+  private def q77OnlineUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val table = graft.table.SnapshotTable(s"${scratchDir("graft_upsert")}/online")
+    val ev = tbl(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+    Materialize.upsertLatest(table,
+      ev.where(col("event_type").isin("click", "view", "signup")),
+      Seq("user_id"), "ts", ties = Seq("event_id"))
+    Materialize.upsertLatest(table,
+      ev.where(col("event_type").isin("purchase", "error")),
+      Seq("user_id"), "ts", ties = Seq("event_id"))
+    table.read(spark)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pit_asof" -> (q01PitAsof _),
     "q02_latest_per_key" -> (q02LatestPerKey _),
@@ -1247,7 +1269,8 @@ object SparkEntry {
     "q73_stream_asof" -> (q73StreamAsOf _),
     "q74_avro_roundtrip" -> (q74AvroRoundtrip _),
     "q75_proto_roundtrip" -> (q75ProtoRoundtrip _),
-    "q76_json_ingest" -> (q76JsonIngest _))
+    "q76_json_ingest" -> (q76JsonIngest _),
+    "q77_online_upsert" -> (q77OnlineUpsert _))
 
   // ---- generated oracles for the hash-kernel queries -----------------------
   // Round 2 left q22/q23/q24/q26/q32/q39 rows-only because their outputs
@@ -2092,6 +2115,11 @@ object SparkEntry {
         |  CAST(epoch_us(max(ts)) // 1000000 + 1800 AS BIGINT) AS session_end,
         |  count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q77_online_upsert" ->
+      """SELECT user_id, ts, event_id, event_type, value FROM (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
     "q76_json_ingest" ->
       """SELECT o_custkey AS cust_key, count(*) AS n_orders,
         |  round(sum(o_totalprice), 4) AS sum_price

@@ -63,6 +63,34 @@ object Materialize {
     latestPerKey(bounded, keys, ts, createdTs)
   }
 
+  /** Compacting keyed upsert into a snapshot table — the batch-engine
+    * counterpart of the reference online store's per-(entity_key, feature)
+    * UPDATE-then-INSERT (sqlite.py:76-128). The incoming batch is merged
+    * with the table's CURRENT contents and re-resolved to latest-per-key,
+    * then committed as ONE new snapshot: reads see exactly one row per key
+    * with no read-time resolution, the manifest pointer makes each upsert
+    * atomic (a reader never observes a half-merged table), and time travel
+    * to pre-upsert snapshots keeps working. An incoming row LOSES to a
+    * stored row with a newer (ts, tie) — order-independent convergence, not
+    * last-writer-wins. Rewrites the stored table once per batch, which is
+    * the right trade for an ONLINE table (one row per entity — small);
+    * event history stays on the append + [[pullLatest]] path.
+    */
+  def upsertLatest(
+      table: graft.table.SnapshotTable,
+      batch: DataFrame,
+      keys: Seq[String],
+      ts: String,
+      createdTs: Option[String] = None,
+      ties: Seq[String] = Nil,
+      numFiles: Int = 0): graft.table.Snapshot = {
+    val merged = table.currentSnapshot match {
+      case Some(_) => table.read(batch.sparkSession).unionByName(batch)
+      case None => batch
+    }
+    table.commit(latestPerKey(merged, keys, ts, createdTs, ties), numFiles)
+  }
+
   /** Online point-lookup emulation with per-row field status — the batch
     * analogue of the reference's `get_online_features` response assembly
     * (feast feature_store.py:578-616; statuses

@@ -53,4 +53,31 @@ class MaterializeSpec extends SparkSpec {
         (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
     assert(vals(1L) == Some(1.5) && vals(2L) == None && vals(3L) == Some(3.0))
   }
+
+  test("upsertLatest: stale rows lose, new keys insert, snapshots time-travel") {
+    val root = java.nio.file.Files.createTempDirectory("graft_upsert_spec")
+    val table = graft.table.SnapshotTable(s"$root/online")
+    def rows(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Double)] =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getTimestamp(1).getTime, r.getDouble(2)))).toMap
+    // batch 1: keys 1, 2
+    Materialize.upsertLatest(table,
+      Seq((1L, t(10), 1.0), (1L, t(20), 1.2), (2L, t(15), 2.0))
+        .toDF("k", "ts", "v"), Seq("k"), "ts")
+    assert(rows(table.read(spark)) ==
+      Map(1L -> ((t(20).getTime, 1.2)), 2L -> ((t(15).getTime, 2.0))))
+    // batch 2: key 1 STALE (must lose), key 2 newer (must win), key 3 new
+    Materialize.upsertLatest(table,
+      Seq((1L, t(5), 9.9), (2L, t(30), 2.3), (3L, t(1), 3.0))
+        .toDF("k", "ts", "v"), Seq("k"), "ts")
+    assert(rows(table.read(spark)) ==
+      Map(1L -> ((t(20).getTime, 1.2)), 2L -> ((t(30).getTime, 2.3)),
+        3L -> ((t(1).getTime, 3.0))))
+    // each upsert is one atomic snapshot; time travel sees the pre-state
+    assert(table.history.size == 2)
+    assert(rows(table.read(spark, asOf = Some(1L))) ==
+      Map(1L -> ((t(20).getTime, 1.2)), 2L -> ((t(15).getTime, 2.0))))
+    // compacted: exactly one stored row per key, no read-time resolution
+    assert(table.currentSnapshot.get.totalRows == 3)
+  }
 }
