@@ -1042,6 +1042,25 @@ object SparkEntry {
         round(col("value"), 4).as("purchase_value"))
   }
 
+  /** §2.9 streaming exact dedup through the hard gate (the last spec-only
+    * streaming op): `dropDuplicatesWithinWatermark` on (user_id, event_type)
+    * over the bounded events stream. The survivor row's OTHER columns are
+    * first-arrival-nondeterministic (partition order), so the gate projects
+    * them away — the emitted set is exactly the distinct key set, which is
+    * deterministic at any parallelism; the oracle is SELECT DISTINCT.
+    * Append mode emits each key on first arrival; state for keys older than
+    * the watermark is evicted (bounded state — the property that matters at
+    * 100 TB).
+    */
+  private def q78StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val s = stagedEventsStream(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val dd = graft.streaming.StreamFeatures.dedupStream(
+      s, Seq("user_id", "event_type"), "ts", watermarkDelay = "1 hour")
+    runBoundedStream(spark, dd, "q78_sink", "append")
+      .select(col("user_id"), col("event_type"))
+  }
+
   /** Typed encode-input frame shared by the q74/q75 payload round-trips:
     * plaintext columns the oracle can recompute from, with the timestamp
     * pre-flattened to integer micros (the NTZ column never crosses the
@@ -1270,7 +1289,8 @@ object SparkEntry {
     "q74_avro_roundtrip" -> (q74AvroRoundtrip _),
     "q75_proto_roundtrip" -> (q75ProtoRoundtrip _),
     "q76_json_ingest" -> (q76JsonIngest _),
-    "q77_online_upsert" -> (q77OnlineUpsert _))
+    "q77_online_upsert" -> (q77OnlineUpsert _),
+    "q78_stream_dedup" -> (q78StreamDedup _))
 
   // ---- generated oracles for the hash-kernel queries -----------------------
   // Round 2 left q22/q23/q24/q26/q32/q39 rows-only because their outputs
@@ -2115,6 +2135,8 @@ object SparkEntry {
         |  CAST(epoch_us(max(ts)) // 1000000 + 1800 AS BIGINT) AS session_end,
         |  count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q78_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
     "q77_online_upsert" ->
       """SELECT user_id, ts, event_id, event_type, value FROM (
         |  SELECT user_id, ts, event_id, event_type, value,
