@@ -630,6 +630,22 @@ object SparkEntry {
       k = 5, nCentroids = 8, nProbe = 2)
   }
 
+  /** SemDeDup within-cell near-duplicate pairs (Abbas et al. 2023): IVF
+    * cell assignment bounds the search, exact cosine verifies — the
+    * embedding-space counterpart of q32's sign-LSH bucketing.
+    */
+  private def q79SemdedupPairs(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semDedupPairs(tbl(spark, dir, "embeddings"), "vec_id", "embedding",
+      nCentroids = 8, threshold = 0.2)
+
+  /** SemDeDup survivor set: one representative per semantic-duplicate
+    * component (oracle recomputes the closure with a recursive CTE).
+    */
+  private def q80Semdedup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(tbl(spark, dir, "embeddings"), "vec_id", "embedding",
+      nCentroids = 8, threshold = 0.2)
+      .select(col("vec_id"))
+
   /** BPE-ish subword token estimate (GPT-2-style pretokenizer regex). */
   private def q34BpeTokens(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "documents")
@@ -1290,7 +1306,9 @@ object SparkEntry {
     "q75_proto_roundtrip" -> (q75ProtoRoundtrip _),
     "q76_json_ingest" -> (q76JsonIngest _),
     "q77_online_upsert" -> (q77OnlineUpsert _),
-    "q78_stream_dedup" -> (q78StreamDedup _))
+    "q78_stream_dedup" -> (q78StreamDedup _),
+    "q79_semdedup_pairs" -> (q79SemdedupPairs _),
+    "q80_semdedup" -> (q80Semdedup _))
 
   // ---- generated oracles for the hash-kernel queries -----------------------
   // Round 2 left q22/q23/q24/q26/q32/q39 rows-only because their outputs
@@ -1425,6 +1443,44 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT id1, id2, round(dot/nrm, 4) AS cos FROM dots WHERE dot/nrm >= 0.2""".stripMargin
 
+  /** Shared q79/q80 CTE block: nearest-of-8-lowest-id-centroids assignment
+    * (q39's shape), within-cell pairs, exact cosine ≥ 0.2 (full-precision
+    * threshold on both sides, like q32).
+    */
+  private val semdedupCtes: String =
+    """flat AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |    UNNEST(embedding) AS v FROM embeddings),
+      |cents AS (SELECT vec_id AS cid FROM embeddings ORDER BY vec_id LIMIT 8),
+      |cflat AS (SELECT c.cid, f.i, f.v FROM cents c JOIN flat f ON f.vec_id = c.cid),
+      |cc AS (SELECT f.vec_id, c.cid,
+      |    SUM(CAST(f.v AS DOUBLE) * c.v)
+      |      / (SQRT(SUM(CAST(f.v AS DOUBLE) * f.v)) * SQRT(SUM(CAST(c.v AS DOUBLE) * c.v))) AS sim
+      |  FROM flat f JOIN cflat c ON c.i = f.i GROUP BY 1, 2),
+      |asg AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM cc)
+      |  WHERE rn = 1),
+      |cand AS (SELECT x.vec_id AS id1, y.vec_id AS id2, x.cid AS cell
+      |         FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+      |dots AS (SELECT p.id1, p.id2, p.cell,
+      |    SUM(CAST(a.v AS DOUBLE) * b.v) AS dot,
+      |    SQRT(SUM(CAST(a.v AS DOUBLE) * a.v)) * SQRT(SUM(CAST(b.v AS DOUBLE) * b.v)) AS nrm
+      |  FROM cand p
+      |  JOIN flat a ON a.vec_id = p.id1
+      |  JOIN flat b ON b.vec_id = p.id2 AND b.i = a.i
+      |  GROUP BY 1, 2, 3),
+      |thr AS (SELECT id1, id2, cell, dot/nrm AS cos FROM dots WHERE dot/nrm >= 0.2)""".stripMargin
+
+  private def q79OracleSql: String =
+    s"WITH $semdedupCtes\nSELECT id1, id2, cell, round(cos, 4) AS cos FROM thr"
+
+  private def q80OracleSql: String =
+    s"""WITH RECURSIVE $semdedupCtes,
+      |e2 AS (SELECT id1 AS a, id2 AS b FROM thr UNION SELECT id2, id1 FROM thr),
+      |r AS (SELECT a, b FROM e2 UNION SELECT r.a, e.b FROM r JOIN e2 e ON r.b = e.a),
+      |comp AS (SELECT a AS vec_id, least(a, min(b)) AS component FROM r GROUP BY a)
+      |SELECT e.vec_id FROM embeddings e
+      |WHERE e.vec_id NOT IN (SELECT vec_id FROM comp WHERE vec_id <> component)""".stripMargin
+
   private def q39OracleSql: String =
     """WITH flat AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
       |    UNNEST(embedding) AS v FROM embeddings),
@@ -1505,6 +1561,8 @@ object SparkEntry {
     "q26_multimodal" -> q26OracleSql,
     "q32_cosine_neardup" -> q32OracleSql,
     "q39_ann_ivf" -> q39OracleSql,
+    "q79_semdedup_pairs" -> q79OracleSql,
+    "q80_semdedup" -> q80OracleSql,
     "q48_hash_split" -> (graft.functions.Mix61.oracleMacros +
       """SELECT doc_id,
         |  CASE WHEN mix61(doc_id, 42) % 1000000 < 800000 THEN 'train'

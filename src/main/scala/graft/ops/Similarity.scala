@@ -87,6 +87,35 @@ object Similarity {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
+  /** Literal-path cell ranking: (sim, cid) structs sorted best-first —
+    * sim desc, ties by cid asc (the same order the round-1 window used).
+    */
+  private def rankedCellsExpr(vec: Column, cents: Seq[(Any, Seq[Float])]): Column =
+    array_sort(
+      array(cents.map { case (cid, cvec) =>
+        struct(cosine(vec, typedLit(cvec)).as("sim"), lit(cid).as("cid"))
+      }.toSeq: _*),
+      (l, r) => when(l.getField("sim") > r.getField("sim"), -1)
+        .when(l.getField("sim") < r.getField("sim"), 1)
+        .when(l.getField("cid") < r.getField("cid"), -1)
+        .when(l.getField("cid") > r.getField("cid"), 1)
+        .otherwise(0))
+
+  /** Nearest-cell assignment, gated like ivfTopK: (idCol, __cid). */
+  private def cellIds(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Seq[(Any, Seq[Float])],
+      cidType: org.apache.spark.sql.types.DataType,
+      maxLiteralCentroids: Int): DataFrame =
+    if (cents.size <= maxLiteralCentroids)
+      df.select(col(idCol),
+        element_at(rankedCellsExpr(col(vecCol), cents), 1)
+          .getField("cid").as("__cid"))
+    else rankedCellsScan(df, idCol, idCol, vecCol, cents, 1, cidType)
+      .select(col(idCol), element_at(col("__cells"), 1).as("__cid"))
+
   /** Exact top-k cosine neighbors for each query vector.
     * `broadcastQueries = false` for query sets too large to broadcast: the
     * scoring becomes a shuffle join (still the exact O(|Q|·corpus) scan).
@@ -243,26 +272,15 @@ object Similarity {
         .orderBy(col(idCol)).limit(nCentroids).collect()
         .map(r => (r.get(0), r.getSeq[Float](1))).toSeq
 
-    // (sim, cid) structs sorted best-first: sim desc, ties by cid asc —
-    // the same order the round-1 window used
-    def rankedCells(vec: Column): Column = array_sort(
-      array(cents.map { case (cid, cvec) =>
-        struct(cosine(vec, typedLit(cvec)).as("sim"), lit(cid).as("cid"))
-      }.toSeq: _*),
-      (l, r) => when(l.getField("sim") > r.getField("sim"), -1)
-        .when(l.getField("sim") < r.getField("sim"), 1)
-        .when(l.getField("cid") < r.getField("cid"), -1)
-        .when(l.getField("cid") > r.getField("cid"), 1)
-        .otherwise(0))
-
     val (corpusCells, queryCells) =
       if (cents.size <= maxLiteralCentroids) (
         corpus.select(
           col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-          element_at(rankedCells(col(vecCol)), 1).getField("cid").as("__cid")),
+          element_at(rankedCellsExpr(col(vecCol), cents), 1)
+            .getField("cid").as("__cid")),
         queries.select(
           col(idCol).as("query_id"), col(vecCol).as("__qv"),
-          explode(transform(slice(rankedCells(col(vecCol)), 1, nProbe),
+          explode(transform(slice(rankedCellsExpr(col(vecCol), cents), 1, nProbe),
             c => c.getField("cid"))).as("__cid")))
       else {
         // past the literal gate: broadcast-kernel assignment (see
@@ -347,6 +365,72 @@ object Similarity {
       .withColumn("cos", cosine(col("__v1"), col("__v2")))
       .where(col("cos") >= threshold)
       .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
+  }
+
+  // -- SemDeDup (Abbas et al., arXiv:2303.09540) --------------------------
+
+  /** Semantic near-duplicate PAIRS at embedding scale, SemDeDup-style:
+    * cluster the corpus with the IVF coarse quantizer, then search for
+    * duplicates ONLY within each cluster — the paper's O(Σ|cell|²) trick vs
+    * the all-pairs N². The cell id is the shuffle key; candidate generation
+    * is NARROW (id + cell — vectors are fetched per surviving pair exactly
+    * like [[cosineNearDup]], so embeddings never ride the self-join); each
+    * candidate is verified with exact cosine, so there are no false
+    * positives — cell bounding only affects RECALL (cross-cell near-dups
+    * are missed, the paper's accepted trade). Cell assignment re-uses the
+    * gated literal/kernel path, so production centroid counts work
+    * unchanged.
+    *
+    * @return (id1, id2, cell, cos) with id1 < id2, cos >= threshold.
+    */
+  def semDedupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int,
+      threshold: Double,
+      trainIters: Int = 0,
+      maxLiteralCentroids: Int = defaultMaxLiteralCentroids): DataFrame = {
+    val cents: Seq[(Any, Seq[Float])] =
+      if (trainIters > 0)
+        trainCentroids(df, idCol, vecCol, nCentroids, trainIters, maxLiteralCentroids)
+          .zipWithIndex.map { case (v, i) => (i: Any, v.toSeq) }
+      else df.select(col(idCol), col(vecCol))
+        .orderBy(col(idCol)).limit(nCentroids).collect()
+        .map(r => (r.get(0), r.getSeq[Float](1))).toSeq
+    val cidType =
+      if (trainIters > 0) org.apache.spark.sql.types.IntegerType
+      else df.select(col(idCol)).schema.head.dataType
+    val asg = cellIds(df, idCol, vecCol, cents, cidType, maxLiteralCentroids)
+    val pairs = asg.as("x").join(asg.as("y"), Seq("__cid"))
+      .where(col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id1"), col(s"y.$idCol").as("id2"),
+        col("__cid").as("cell"))
+    val vecs = df.select(col(idCol), col(vecCol))
+    pairs
+      .join(vecs.select(col(idCol).as("id1"), col(vecCol).as("__v1")), Seq("id1"))
+      .join(vecs.select(col(idCol).as("id2"), col(vecCol).as("__v2")), Seq("id2"))
+      .withColumn("cos", cosine(col("__v1"), col("__v2")))
+      .where(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), col("cell"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Corpus after SemDeDup removal: one representative (minimum id, via
+    * connected components over [[semDedupPairs]] — pairwise removal alone
+    * over-deletes on chains) per semantic-duplicate group; rows in no pair
+    * pass through.
+    */
+  def semDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int,
+      threshold: Double,
+      trainIters: Int = 0,
+      maxLiteralCentroids: Int = defaultMaxLiteralCentroids): DataFrame = {
+    val pairs = semDedupPairs(df, idCol, vecCol, nCentroids, threshold,
+      trainIters, maxLiteralCentroids).select(col("id1"), col("id2"))
+    Dedup.dropNearDuplicates(df, idCol, pairs)
   }
 
   // -- Product quantization (Jégou/Douze/Schmid, TPAMI 2011) -------------

@@ -60,6 +60,23 @@ class SimilarityGateSpec extends SparkSpec {
     assert(lit.count() == 48)
   }
 
+  test("semDedup: planted duplicates found within cells, one representative kept, kernel == literal") {
+    val planted = Seq((100L, vecs(3)._2), (101L, vecs(3)._2)) // exact copies of vec 3
+    val df2 = (vecs ++ planted).toDF("vec_id", "embedding")
+    val pairs = Similarity.semDedupPairs(df2, "vec_id", "embedding",
+      nCentroids = 4, threshold = 0.999)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((3L, 100L), (3L, 101L), (100L, 101L))) // full clique, in-cell
+    val kept = Similarity.semDedup(df2, "vec_id", "embedding",
+      nCentroids = 4, threshold = 0.999)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(3L) && !kept.contains(100L) && !kept.contains(101L))
+    assert(kept.size == vecs.size) // everything else passes through
+    val ker = Similarity.semDedupPairs(df2, "vec_id", "embedding",
+      nCentroids = 4, threshold = 0.999, maxLiteralCentroids = 1)
+    assert(rows(pairs) == rows(ker))
+  }
+
   test("pqTopK: kernel ADC ranking equals literal ADC ranking exactly") {
     val books = Similarity.pqCodebooks(df, "vec_id", "embedding", m = 4, k = 8)
     val lit = Similarity.pqTopK(df, queries, "vec_id", "embedding", k = 3, books)
