@@ -646,6 +646,15 @@ object SparkEntry {
       nCentroids = 8, threshold = 0.2)
       .select(col("vec_id"))
 
+  /** CCNet-style LM perplexity quality score: hashed-bigram add-one LM
+    * trained on the src0 slice, every other document scored by average
+    * negative log-likelihood per bigram (integer micro-nat aggregation —
+    * exact cross-engine, like q69's DSIR weights).
+    */
+  private def q81LmPerplexity(spark: SparkSession, dir: String): DataFrame =
+    TextStats.lmPerplexity(tbl(spark, dir, "documents"), "doc_id", "text",
+      isRef = col("source") === "src0", buckets = 64, seed = 11L)
+
   /** BPE-ish subword token estimate (GPT-2-style pretokenizer regex). */
   private def q34BpeTokens(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "documents")
@@ -1308,7 +1317,8 @@ object SparkEntry {
     "q77_online_upsert" -> (q77OnlineUpsert _),
     "q78_stream_dedup" -> (q78StreamDedup _),
     "q79_semdedup_pairs" -> (q79SemdedupPairs _),
-    "q80_semdedup" -> (q80Semdedup _))
+    "q80_semdedup" -> (q80Semdedup _),
+    "q81_lm_perplexity" -> (q81LmPerplexity _))
 
   // ---- generated oracles for the hash-kernel queries -----------------------
   // Round 2 left q22/q23/q24/q26/q32/q39 rows-only because their outputs
@@ -1563,6 +1573,25 @@ object SparkEntry {
     "q39_ann_ivf" -> q39OracleSql,
     "q79_semdedup_pairs" -> q79OracleSql,
     "q80_semdedup" -> q80OracleSql,
+    "q81_lm_perplexity" -> (graft.functions.Mix61.oracleMacros +
+      """WITH words AS (SELECT doc_id, source = 'src0' AS r,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |bk AS (SELECT doc_id, r,
+        |    list_transform(ws, w -> mix61(rh61(w), 11) % 64) AS bs FROM words),
+        |pairs AS (SELECT doc_id, r, bs[CAST(i AS INT)] AS b1,
+        |    bs[CAST(i + 1 AS INT)] AS b2
+        |  FROM bk, UNNEST(range(1, len(bs))) u(i)),
+        |pd AS (SELECT doc_id, b1, b2, count(*) AS c, max(r) AS r
+        |  FROM pairs GROUP BY 1, 2, 3),
+        |mp AS (SELECT b1, b2, sum(c) AS cp FROM pd WHERE r GROUP BY 1, 2),
+        |mc AS (SELECT b1, sum(cp) AS cc FROM mp GROUP BY 1),
+        |sc AS (SELECT doc_id, c,
+        |    CAST(round(-ln(CAST(coalesce(cp, 0) + 1 AS DOUBLE)
+        |      / (coalesce(cc, 0) + 64)) * 1e6) AS BIGINT) AS nll
+        |  FROM pd LEFT JOIN mp USING (b1, b2) LEFT JOIN mc USING (b1))
+        |SELECT doc_id, CAST(sum(c * nll) AS DOUBLE) / 1e6 / sum(c) AS lm_nll
+        |FROM sc GROUP BY 1""".stripMargin),
     "q48_hash_split" -> (graft.functions.Mix61.oracleMacros +
       """SELECT doc_id,
         |  CASE WHEN mix61(doc_id, 42) % 1000000 < 800000 THEN 'train'

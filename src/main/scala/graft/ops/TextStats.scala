@@ -216,6 +216,67 @@ object TextStats {
     regexp_replace(ipv4, "\\b\\d{7,}\\b", "<NUM>")
   }
 
+  /** CCNet-style LM quality score (Wenzek et al., LREC 2020 — filter or
+    * bucket a crawl by language-model perplexity under a model trained on a
+    * trusted reference corpus): average negative log-likelihood per bigram,
+    * in nats, under a hashed-BIGRAM add-one-smoothed LM trained on the
+    * `isRef` slice. CCNet trains KenLM on Wikipedia; the engine-portable
+    * counterpart hashes words to `buckets` ids (Mix61 ∘ RollingHash — the
+    * same trick as [[graft.ops.Sampling.importanceWeights]]) so every model
+    * cell is an integer count any engine can replay, and scores each bigram
+    * in integer MICRO-nats so the per-document aggregate is exact integer
+    * arithmetic (the importanceWeights exactness contract: a rounded SUM
+    * can flip on the boundary, a summed integer cannot).
+    *
+    * P(b2|b1) = (c(b1,b2) + 1) / (c(b1) + buckets); lm_nll =
+    * Σ −ln P / n over the document's n consecutive bigrams (documents with
+    * < 2 words have no bigram and are absent from the output). Lower is
+    * more reference-like; `exp(lm_nll)` is the per-bigram perplexity.
+    *
+    * Shape at scale: the corpus is scanned ONCE into a compact
+    * (doc, b1, b2, count) frame (cached — it feeds both the model and the
+    * scoring); the reference model is two map-side-combinable aggregates
+    * over it (≤ buckets² pair rows, ≤ buckets context rows) that broadcast
+    * back; the final score is one per-doc sum. Nothing driver-side.
+    */
+  def lmPerplexity(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      isRef: Column,
+      buckets: Int,
+      seed: Long): DataFrame = {
+    require(buckets > 0, "buckets > 0")
+    import graft.functions.Mix61
+    val ws = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+    val bs = transform(ws, w =>
+      pmod(Mix61.mix61(RollingHash.rolling_hash(w), lit(seed)), lit(buckets.toLong)))
+    val prs = when(size(bs) >= 2,
+        zip_with(slice(bs, lit(1), size(bs) - 1), slice(bs, lit(2), size(bs) - 1),
+          (a, b) => struct(a.as("b1"), b.as("b2"))))
+      .otherwise(array().cast("array<struct<b1:bigint,b2:bigint>>"))
+    val perDoc = df
+      .select(col(idCol), isRef.as("__r"), explode(prs).as("__p"))
+      .select(col(idCol), col("__r"),
+        col("__p.b1").as("__b1"), col("__p.b2").as("__b2"))
+      .groupBy(col(idCol), col("__b1"), col("__b2"))
+      .agg(count(lit(1)).as("__c"), max(col("__r")).as("__r"))
+      .cache()
+    val refPairs = perDoc.where(col("__r"))
+      .groupBy(col("__b1"), col("__b2")).agg(sum(col("__c")).as("__cp"))
+    val refCtx = refPairs.groupBy(col("__b1")).agg(sum(col("__cp")).as("__cc"))
+    perDoc
+      .join(broadcast(refPairs), Seq("__b1", "__b2"), "left")
+      .join(broadcast(refCtx), Seq("__b1"), "left")
+      .select(col(idCol), col("__c"),
+        round(-log((coalesce(col("__cp"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("__cc"), lit(0L)) + buckets)) * 1e6, 0)
+          .cast("long").as("__nll"))
+      .groupBy(col(idCol))
+      .agg((sum(col("__c") * col("__nll")).cast("double") / 1e6 /
+        sum(col("__c"))).as("lm_nll"))
+  }
+
   /** Convenience: full per-document stats frame. */
   def documentStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(
