@@ -1086,6 +1086,27 @@ object SparkEntry {
       .select(col("user_id"), col("event_type"))
   }
 
+  /** S10 streaming materialization sink through the hard gate (the last
+    * spec-only streaming wrapper): the bounded events stream runs through
+    * `latestToSink`'s foreachBatch — per-batch latest-per-key appended to
+    * an idempotent parquet sink with a checkpoint — then the sink is
+    * re-read and re-resolved, the documented read-side contract (the
+    * compacting alternative is q77's upsertLatest). The fixture has no
+    * (user_id, ts) ties, so per-batch resolution is deterministic; the
+    * oracle is the q02 latest SQL.
+    */
+  private def q82StreamMaterialize(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratchDir("graft_stream_mat")
+    val q = graft.streaming.StreamFeatures.latestToSink(
+      stagedEventsStream(spark, dir), Seq("user_id"), "ts",
+      s"$root/sink", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Materialize.latestPerKey(spark.read.parquet(s"$root/sink"),
+      Seq("user_id"), "ts", ties = Seq("event_id"))
+  }
+
   /** Typed encode-input frame shared by the q74/q75 payload round-trips:
     * plaintext columns the oracle can recompute from, with the timestamp
     * pre-flattened to integer micros (the NTZ column never crosses the
@@ -1318,7 +1339,8 @@ object SparkEntry {
     "q78_stream_dedup" -> (q78StreamDedup _),
     "q79_semdedup_pairs" -> (q79SemdedupPairs _),
     "q80_semdedup" -> (q80Semdedup _),
-    "q81_lm_perplexity" -> (q81LmPerplexity _))
+    "q81_lm_perplexity" -> (q81LmPerplexity _),
+    "q82_stream_materialize" -> (q82StreamMaterialize _))
 
   // ---- generated oracles for the hash-kernel queries -----------------------
   // Round 2 left q22/q23/q24/q26/q32/q39 rows-only because their outputs
@@ -2224,6 +2246,10 @@ object SparkEntry {
         |FROM s GROUP BY user_id, sid""".stripMargin,
     "q78_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "q82_stream_materialize" ->
+      """SELECT user_id, event_id, ts, event_type, value, props FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
     "q77_online_upsert" ->
       """SELECT user_id, ts, event_id, event_type, value FROM (
         |  SELECT user_id, ts, event_id, event_type, value,
