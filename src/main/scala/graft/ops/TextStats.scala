@@ -236,8 +236,12 @@ object TextStats {
     * Shape at scale: the corpus is scanned ONCE into a compact
     * (doc, b1, b2, count) frame (cached — it feeds both the model and the
     * scoring); the reference model is two map-side-combinable aggregates
-    * over it (≤ buckets² pair rows, ≤ buckets context rows) that broadcast
-    * back; the final score is one per-doc sum. Nothing driver-side.
+    * over it (≤ buckets² pair rows, ≤ buckets context rows). The model
+    * joins back BROADCAST only while buckets² stays broadcast-sized
+    * (≤ 2048 buckets ⇒ ≤ 4M pair cells); above that it is a plain shuffle
+    * equi-join on (b1, b2) — the same size-gate calculus as
+    * [[graft.ops.Similarity.defaultMaxLiteralCentroids]]. The final score
+    * is one per-doc sum. Nothing driver-side.
     */
   def lmPerplexity(
       df: DataFrame,
@@ -262,12 +266,15 @@ object TextStats {
       .groupBy(col(idCol), col("__b1"), col("__b2"))
       .agg(count(lit(1)).as("__c"), max(col("__r")).as("__r"))
       .cache()
-    val refPairs = perDoc.where(col("__r"))
+    val refPairs0 = perDoc.where(col("__r"))
       .groupBy(col("__b1"), col("__b2")).agg(sum(col("__c")).as("__cp"))
-    val refCtx = refPairs.groupBy(col("__b1")).agg(sum(col("__cp")).as("__cc"))
+    val refCtx0 = refPairs0.groupBy(col("__b1")).agg(sum(col("__cp")).as("__cc"))
+    val (refPairs, refCtx) =
+      if (buckets <= 2048) (broadcast(refPairs0), broadcast(refCtx0))
+      else (refPairs0, refCtx0)
     perDoc
-      .join(broadcast(refPairs), Seq("__b1", "__b2"), "left")
-      .join(broadcast(refCtx), Seq("__b1"), "left")
+      .join(refPairs, Seq("__b1", "__b2"), "left")
+      .join(refCtx, Seq("__b1"), "left")
       .select(col(idCol), col("__c"),
         round(-log((coalesce(col("__cp"), lit(0L)) + 1).cast("double") /
           (coalesce(col("__cc"), lit(0L)) + buckets)) * 1e6, 0)

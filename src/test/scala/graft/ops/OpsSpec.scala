@@ -652,4 +652,42 @@ class OpsSpec extends SparkSpec {
     assert(top1(1L)._2 == 1L)
     assert(top1(3L)._1 == "columnar") // all df=1 ties at tf=1 -> lexicographic
   }
+
+  test("lmPerplexity matches a naive driver-side hashed-bigram LM") {
+    import spark.implicits._
+    import graft.functions.{Mix61, RollingHash}
+    val docs = Seq(
+      (1L, "the cat sat on the mat", true),
+      (2L, "the dog sat on the log", true),
+      (3L, "cat dog mat log the cat sat", false),
+      (4L, "completely novel words here", false),
+      (5L, "one", false)) // < 2 words -> no bigram -> absent
+    val buckets = 32
+    val seed = 5L
+    val got = TextStats.lmPerplexity(docs.toDF("doc_id", "text", "is_ref"),
+        "doc_id", "text", col("is_ref"), buckets, seed)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // naive oracle on the driver, same hashing via the SCALAR kernels
+    def b(w: String): Long =
+      math.floorMod(Mix61.mix(RollingHash.hash(w), seed), buckets.toLong)
+    def bigrams(t: String): Seq[(Long, Long)] = {
+      val ws = t.split("\\s+").filter(_.nonEmpty).map(b)
+      ws.dropRight(1).zip(ws.drop(1)).toSeq
+    }
+    val refBi = docs.filter(_._3).flatMap(d => bigrams(d._2))
+    val cp = refBi.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cc = refBi.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val want = docs.filter(d => bigrams(d._2).nonEmpty).map { d =>
+      val bs = bigrams(d._2)
+      val microNats = bs.map { p =>
+        math.round(-math.log((cp.getOrElse(p, 0L) + 1).toDouble /
+          (cc.getOrElse(p._1, 0L) + buckets)) * 1e6)
+      }.sum
+      d._1 -> microNats.toDouble / 1e6 / bs.size
+    }.toMap
+    assert(got == want)
+    assert(!got.contains(5L))
+    // reference-like docs score lower than out-of-domain text
+    assert(got(1L) < got(4L) && got(2L) < got(4L))
+  }
 }
