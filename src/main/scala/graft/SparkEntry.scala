@@ -713,8 +713,9 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"))
 
   /** Near-dup clustering: connected components over the exact-Jaccard pair
-    * graph (hash-min propagation) — the step that turns pairwise matches
-    * into one-representative-per-cluster dedup.
+    * graph (driver union-find ≤ gate, large-star/small-star above) — the
+    * step that turns pairwise matches into one-representative-per-cluster
+    * dedup.
     */
   private def q50Components(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.ngramJaccard(tbl(spark, dir, "documents"), "doc_id", "text",

@@ -400,8 +400,8 @@ object Dedup {
     * @param pairs (id1, id2) rows; direction irrelevant.
     * @param driverMaxEdges collect+union-find below this many distinct
     *        undirected edges (default 2M ≈ a few hundred MB transient on a
-    *        driver sized like an executor); distributed hash-min label
-    *        propagation above it.
+    *        driver sized like an executor); distributed large-star/
+    *        small-star contraction above it.
     * @return one row per node appearing in `pairs`: (id, component).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
