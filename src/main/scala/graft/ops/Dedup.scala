@@ -378,15 +378,18 @@ object Dedup {
     * representative per duplicate CLUSTER survives (pairwise removal alone
     * over-deletes on chains a~b~c).
     *
-    * Algorithm above the gate: large-star/small-star alternation
-    * ([[starComponents]], Kiveris et al. SoCC 2014) — O(log² n) rounds
-    * REGARDLESS of graph diameter, where each round is two groupBy-min +
-    * two equi-joins on narrow (id, id) rows. Hash-min label propagation
-    * ([[hashMinComponents]]) is retained for comparison: it is one join per
-    * round but needs DIAMETER rounds, which loses from diameter ≈ 8 and
-    * fails outright on chain-shaped duplicate graphs (BENCH/DEDUP.md
-    * "Long-chain CC"). Both loops are driver-side with a per-round
-    * convergence action and `localCheckpoint` to keep plans flat.
+    * Algorithm above the gate — STAGED ESCALATION (BENCH/DEDUP.md
+    * "Long-chain CC" has both sides of the measurement): hash-min label
+    * propagation ([[hashMinComponents]]) costs ~half a star round per
+    * round and converges in graph-DIAMETER rounds, and near-dup graphs are
+    * usually shallow cliques — so it gets `hashMinHead` rounds first; a
+    * graph still unconverged is diameter-shaped, and the run restarts on
+    * large-star/small-star ([[starComponents]], Kiveris et al. SoCC 2014),
+    * whose O(log² n) round bound holds at ANY diameter. The escalation
+    * penalty is bounded (hashMinHead cheap rounds); the shallow-graph
+    * saving is ~2×; and no input shape can stall the job. Both loops are
+    * driver-side with a per-round convergence action and `localCheckpoint`
+    * to keep plans flat.
     *
     * Size-gated driver path: a near-dup pair list is a tiny fraction of the
     * corpus (pair mining already reduced 100 TB of documents to the rows
@@ -405,7 +408,7 @@ object Dedup {
     * @return one row per node appearing in `pairs`: (id, component).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
-      driverMaxEdges: Long = 2000000L): DataFrame = {
+      driverMaxEdges: Long = 2000000L, hashMinHead: Int = 4): DataFrame = {
     // canonicalize direction first so the gate counts (and the driver path
     // collects) each undirected edge exactly ONCE — the documented budget
     val undirected = pairs.select(
@@ -413,7 +416,9 @@ object Dedup {
         greatest(col("id1"), col("id2")).as("b"))
       .distinct().localCheckpoint()
     if (undirected.count() <= driverMaxEdges) driverComponents(undirected)
-    else starComponents(undirected, maxIter)
+    else hashMinAttempt(undirected, hashMinHead,
+        new java.util.concurrent.atomic.AtomicInteger)
+      .getOrElse(starComponents(undirected, maxIter))
   }
 
   /** Distributed large-star/small-star CC (Kiveris et al., "Connected
@@ -479,13 +484,23 @@ object Dedup {
   }
 
   /** Distributed hash-min label propagation (min label over neighbors per
-    * round; converges in graph-DIAMETER rounds). Kept for comparison
-    * benchmarks and as the simplest-possible distributed CC; production
-    * routing uses [[starComponents]] (diameter-independent round count).
+    * round; converges in graph-DIAMETER rounds) — the cheap HEAD stage of
+    * [[connectedComponents]]'s escalation, and the comparison benchmark
+    * baseline. Throws when `maxIter` is not enough; [[hashMinAttempt]] is
+    * the non-throwing variant the escalation routes through.
     */
   private[graft] def hashMinComponents(undirected: DataFrame, maxIter: Int = 25,
       rounds: java.util.concurrent.atomic.AtomicInteger =
-        new java.util.concurrent.atomic.AtomicInteger): DataFrame = {
+        new java.util.concurrent.atomic.AtomicInteger): DataFrame =
+    hashMinAttempt(undirected, maxIter, rounds).getOrElse(
+      throw new IllegalStateException(
+        s"hashMinComponents did not converge in $maxIter iterations"))
+
+  /** [[hashMinComponents]] that returns None instead of throwing when the
+    * round budget runs out (labels would be incomplete — never returned).
+    */
+  private[graft] def hashMinAttempt(undirected: DataFrame, maxIter: Int,
+      rounds: java.util.concurrent.atomic.AtomicInteger): Option[DataFrame] = {
     val edges = undirected
       .union(undirected.select(col("b").as("a"), col("a").as("b")))
       .distinct().localCheckpoint()
@@ -507,8 +522,7 @@ object Dedup {
       i += 1
       rounds.set(i)
     }
-    require(changed == 0, s"hashMinComponents did not converge in $maxIter iterations")
-    labels
+    if (changed == 0) Some(labels) else None
   }
 
   /** Driver-side union-find over a small collected edge list (the

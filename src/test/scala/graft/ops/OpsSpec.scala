@@ -219,12 +219,14 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
-    // distributed star path (forced via driverMaxEdges = 0) agrees with
-    // the driver union-find path on the same graph
+    // distributed escalation path (forced via driverMaxEdges = 0): the
+    // shallow graph converges inside the hash-min head and agrees with the
+    // driver union-find path
     val distComp = Dedup.connectedComponents(pairs, driverMaxEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(distComp == comp)
-    // long chain (diameter 40) converges in far fewer than 40 star rounds
+    // long chain (diameter 40): the hash-min head CANNOT converge, the run
+    // escalates to star and still finishes within 10 star rounds
     val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id1", "id2")
     val chainComp = Dedup.connectedComponents(chain, maxIter = 10,
         driverMaxEdges = 0L)
