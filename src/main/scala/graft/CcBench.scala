@@ -54,11 +54,18 @@ object CcBench {
     val (hmSec, hmSum) = timed(checksum(
       graft.ops.Dedup.hashMinComponents(e, maxIter = len + 5, rounds = hr)))
     require(starSum == hmSum, s"label checksums diverge: $starSum vs $hmSum")
+    // the production route: hash-min head + star fallback (what
+    // connectedComponents actually runs above the driver gate)
+    val (escSec, escSum) = timed(checksum(graft.ops.Dedup.connectedComponents(
+      e.select(col("a").as("id1"), col("b").as("id2")),
+      maxIter = 25, driverMaxEdges = 0L)))
+    require(escSum == starSum, s"escalation checksum diverges: $escSum vs $starSum")
 
     println(s"""{"metric":"cc_long_chain","n_chains":$nChains,"len":$len,""" +
       s""""n_edges":$nEdges,"diameter":${len - 1},""" +
       s""""star_sec":$starSec,"star_rounds":${sr.get},""" +
       s""""hashmin_sec":$hmSec,"hashmin_rounds":${hr.get},""" +
+      s""""escalation_sec":$escSec,""" +
       s""""checksum":$starSum}""")
     spark.stop()
   }
