@@ -88,8 +88,14 @@ final class SnapshotTable(val root: String) {
     * writes from a crashed commit are invisible.
     */
   def read(spark: SparkSession, asOf: Option[Long] = None): DataFrame = {
-    val snap = asOf.flatMap(snapshot).orElse(currentSnapshot)
-      .getOrElse(throw new IllegalStateException(s"no snapshot in $root"))
+    val snap = asOf match {
+      // a missing requested snapshot must FAIL, not silently read current
+      // (it may have been dropped by expireSnapshots)
+      case Some(id) => snapshot(id).getOrElse(throw new IllegalStateException(
+        s"snapshot $id not found in $root (expired or never committed)"))
+      case None => currentSnapshot.getOrElse(
+        throw new IllegalStateException(s"no snapshot in $root"))
+    }
     spark.read.parquet(snap.files.map(_.path): _*)
   }
 
@@ -99,6 +105,48 @@ final class SnapshotTable(val root: String) {
       Iterator.iterate(snapshot(cur))(s => s.flatMap(_.parentId).flatMap(snapshot))
         .takeWhile(_.isDefined).flatten.toSeq
     }
+
+  /** Small-file compaction (the Iceberg `rewrite_data_files` analogue — the
+    * table-maintenance op that keeps a 100 TB table scannable after many
+    * small incremental commits): rewrite the CURRENT snapshot's rows into
+    * ~`targetBytes` files and commit the result as a NEW snapshot. Data is
+    * unchanged (one distributed read + write, no driver materialization);
+    * older snapshots remain time-travelable until [[expireSnapshots]]
+    * drops them. Returns the compacted snapshot.
+    */
+  def compact(spark: SparkSession, targetBytes: Long = 128L * 1024 * 1024): Snapshot = {
+    val cur = currentSnapshot.getOrElse(
+      throw new IllegalStateException(s"no snapshot to compact in $root"))
+    val nFiles = math.max(1L, (cur.totalBytes + targetBytes - 1) / targetBytes).toInt
+    commit(read(spark), numFiles = nFiles, watermark = cur.watermark)
+  }
+
+  /** Snapshot retention (the Iceberg `expire_snapshots` analogue): keep the
+    * newest `keepLast` snapshots of the chain, delete every older
+    * manifest AND its immutable data directory (commits never share files,
+    * so an expired snapshot's directory is referenced by nothing else).
+    * Time travel to an expired id fails afterwards — that is the point
+    * (bounded storage); lineage above the cut is preserved. Returns the
+    * expired snapshot ids.
+    */
+  def expireSnapshots(keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val chain = history
+    val expired = chain.drop(keepLast)
+    expired.map { s =>
+      // data dirs are per-snapshot (data/<id>/); remove files then the dir
+      s.files.map(f => Paths.get(f.path).getParent).distinct.foreach { dir =>
+        if (Files.exists(dir)) {
+          val walk = Files.walk(dir)
+          try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+            .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+          finally walk.close()
+        }
+      }
+      Files.deleteIfExists(manifestPath(s.snapshotId))
+      s.snapshotId
+    }
+  }
 
   private def listParquet(dir: Path): Seq[Path] =
     Files.walk(dir).iterator().asScala

@@ -99,4 +99,29 @@ class BackfillSpec extends SparkSpec {
       .parquet(Paths.get(root, "data", "000000099").toString)
     assert(table.read(spark).count() == 1, "orphan files must be invisible")
   }
+
+  test("compact rewrites many small files into few; expire drops old data") {
+    val root = freshDir("snap5")
+    val table = SnapshotTable(root)
+    import spark.implicits._
+    // a fragmented commit: 8 tiny files
+    val s1 = table.commit((1 to 80).map(i => (i, s"v$i")).toDF("id", "v"), numFiles = 8)
+    assert(s1.files.size == 8)
+    val rows = table.read(spark).collect().map(_.toString).sorted.toSeq
+    val s2 = table.compact(spark, targetBytes = Long.MaxValue) // -> 1 file
+    assert(s2.files.size == 1)
+    assert(table.read(spark).collect().map(_.toString).sorted.toSeq == rows)
+    assert(table.read(spark, asOf = Some(s1.snapshotId)).count() == 80) // still travelable
+    // retention: keep only the compacted snapshot
+    val expired = table.expireSnapshots(keepLast = 1)
+    assert(expired == Seq(s1.snapshotId))
+    assert(table.read(spark).collect().map(_.toString).sorted.toSeq == rows)
+    // expired id now FAILS (never silently reads current)
+    intercept[IllegalStateException] {
+      table.read(spark, asOf = Some(s1.snapshotId))
+    }
+    // the expired snapshot's immutable data dir is physically gone
+    assert(!Files.exists(Paths.get(root, "data", f"${s1.snapshotId}%09d")))
+    assert(table.history.map(_.snapshotId) == Seq(s2.snapshotId))
+  }
 }
