@@ -655,6 +655,36 @@ object SparkEntry {
     TextStats.lmPerplexity(tbl(spark, dir, "documents"), "doc_id", "text",
       isRef = col("source") === "src0", buckets = 64, seed = 11L)
 
+  /** End-to-end curation pipeline as ONE query — the composition story:
+    * the operators above are not isolated demos, they chain. documents →
+    * Gopher quality filter (q55's thresholds) → exact dedup (min doc_id
+    * per text, q13) → deterministic hash split (q48's seed/rates, train
+    * slice) → per-source token-budget fill (q66's budget/seed). Every
+    * stage is individually gate-proven; this row proves the COMPOSITION
+    * against one nested DuckDB oracle. At scale the whole chain is: one
+    * scan-stage filter, one content-hash aggregate, a codegen'd split
+    * projection, and one per-source window — three shuffles total.
+    */
+  private def q83Pipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val rules = TextStats.gopherRules(col("text"),
+      minWords = 20, maxWords = 100000,
+      minMeanWordLen = 3.0, maxMeanWordLen = 4.6,
+      minUniqueRatio = 0.45, minStopwordRatio = 0.05, maxPunctRatio = 0.2)
+    val filtered = docs.where(rules.last._2 === 1) // "pass" conjunction
+    val deduped = Dedup.exact(filtered, "text", "doc_id").select(col("doc_id"))
+    val meta = filtered.select(col("doc_id"), col("source"),
+      TextStats.tokenCount(col("text")).as("n_tok"))
+    val train = Sampling.hashSplit(deduped.join(meta, Seq("doc_id")),
+        "doc_id", seed = 42L,
+        splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .where(col("split") === "train")
+    Sampling.tokenBudget(
+      train.select(col("doc_id"), col("source"), col("n_tok")),
+      groupCol = "source", idCol = "doc_id", tokensCol = "n_tok",
+      budget = 600L, seed = 13L)
+  }
+
   /** BPE-ish subword token estimate (GPT-2-style pretokenizer regex). */
   private def q34BpeTokens(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "documents")
@@ -1341,7 +1371,8 @@ object SparkEntry {
     "q79_semdedup_pairs" -> (q79SemdedupPairs _),
     "q80_semdedup" -> (q80Semdedup _),
     "q81_lm_perplexity" -> (q81LmPerplexity _),
-    "q82_stream_materialize" -> (q82StreamMaterialize _))
+    "q82_stream_materialize" -> (q82StreamMaterialize _),
+    "q83_pipeline" -> (q83Pipeline _))
 
   // ---- generated oracles for the hash-kernel queries -----------------------
   // Round 2 left q22/q23/q24/q26/q32/q39 rows-only because their outputs
@@ -2166,6 +2197,35 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, lang FROM r
         |WHERE rn <= (n * 200000 + 999999) // 1000000""".stripMargin),
+    "q83_pipeline" -> (graft.functions.Mix61.oracleMacros +
+      """WITH s AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+        |  round(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+        |    / len(string_split(text, ' ')), 6) AS mwl,
+        |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' ')), 6) AS uniq,
+        |  round(CAST(len(list_filter(string_split(lower(text), ' '),
+        |      x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'))) AS DOUBLE)
+        |    / len(string_split(text, ' ')), 6) AS stop,
+        |  round((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+        |    / CAST(length(text) AS DOUBLE), 6) AS punct
+        |  FROM documents),
+        |g AS (SELECT doc_id FROM s
+        |  WHERE nw BETWEEN 20 AND 100000 AND mwl BETWEEN 3.0 AND 4.6
+        |    AND uniq >= 0.45 AND stop >= 0.05 AND punct <= 0.2),
+        |dd AS (SELECT min(d.doc_id) AS doc_id
+        |  FROM documents d JOIN g ON g.doc_id = d.doc_id GROUP BY d.text),
+        |m AS (SELECT d.doc_id, d.source,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(d.text), '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents d JOIN dd ON dd.doc_id = d.doc_id),
+        |tr AS (SELECT * FROM m WHERE mix61(doc_id, 42) % 1000000 < 800000),
+        |c AS (SELECT doc_id, source, n_tok,
+        |    CAST(SUM(n_tok) OVER (PARTITION BY source
+        |      ORDER BY mix61(doc_id, 13), doc_id) AS BIGINT) AS cum_tokens
+        |  FROM tr)
+        |SELECT doc_id, source, n_tok, cum_tokens FROM c
+        |WHERE cum_tokens <= 600""".stripMargin),
     "q66_token_budget" -> (graft.functions.Mix61.oracleMacros +
       """WITH d AS (SELECT doc_id, source,
         |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
