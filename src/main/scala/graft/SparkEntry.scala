@@ -663,7 +663,7 @@ object SparkEntry {
     * stage is individually gate-proven; this row proves the COMPOSITION
     * against one nested DuckDB oracle. At scale the whole chain is: one
     * scan-stage filter, one content-hash aggregate, a codegen'd split
-    * projection, and one per-source window — three shuffles total.
+    * projection, and one per-source window — two shuffles total (the dedup-ids fetch broadcasts).
     */
   private def q83Pipeline(spark: SparkSession, dir: String): DataFrame = {
     val docs = tbl(spark, dir, "documents")
