@@ -257,6 +257,15 @@ object SparkEntry {
   private def q13DedupExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exact(tbl(spark, dir, "documents"), "text", "doc_id")
 
+  /** Digest-keyed exact dedup (the 100 TB shape of q13): the aggregate
+    * shuffles (xxhash64-pair, doc_id) 24-byte rows, never the document
+    * text. Oracle groups by the raw text — results agree because the
+    * 128-bit digest is collision-free at any feasible corpus size (and the
+    * run would fail loudly on one via the verify path, spec-exercised).
+    */
+  private def q84DedupDigest(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactByDigest(tbl(spark, dir, "documents"), "text", "doc_id")
+
   /** maxDf=10k: boilerplate shingles in >10k docs are excluded from
     * candidate generation (they contribute df² join rows and zero
     * discrimination); no sf fixture comes near the cap, so the oracle is
@@ -300,7 +309,7 @@ object SparkEntry {
     * aggregate (the write.partitionBy + read-side pruning round trip).
     */
   private def q27DateSink(spark: SparkSession, dir: String): DataFrame = {
-    val out = "/tmp/graft_verify_sink/q27"
+    val out = scratchDir("graft_date_q27").toString
     tbl(spark, dir, "events")
       .withColumn("date", to_date(col("ts")))
       .write.mode("overwrite").partitionBy("date").parquet(out)
@@ -316,7 +325,7 @@ object SparkEntry {
     * with an explicit schema, aggregate per key.
     */
   private def q28CsvIngest(spark: SparkSession, dir: String): DataFrame = {
-    val out = "/tmp/graft_verify_sink/q28"
+    val out = scratchDir("graft_csv_q28").toString
     val li = tbl(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
     li.repartition(8).write.mode("overwrite").option("header", "true").csv(out)
@@ -332,7 +341,7 @@ object SparkEntry {
     * aggregate per key. Completes the S6 format matrix next to q28 (CSV).
     */
   private def q76JsonIngest(spark: SparkSession, dir: String): DataFrame = {
-    val out = "/tmp/graft_verify_sink/q76"
+    val out = scratchDir("graft_json_q76").toString
     val orders = tbl(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     orders.repartition(8).write.mode("overwrite").json(out)
@@ -662,8 +671,10 @@ object SparkEntry {
     * slice) → per-source token-budget fill (q66's budget/seed). Every
     * stage is individually gate-proven; this row proves the COMPOSITION
     * against one nested DuckDB oracle. At scale the whole chain is: one
-    * scan-stage filter, one content-hash aggregate, a codegen'd split
-    * projection, and one per-source window — two shuffles total (the dedup-ids fetch broadcasts).
+    * scan-stage filter, one DIGEST-keyed dedup aggregate (the exchange
+    * carries (xxhash64-pair, doc_id) 24-byte rows, never the corpus text —
+    * [[Dedup.exactByDigest]]), a codegen'd split projection, and one
+    * per-source window — two shuffles total (the dedup-ids fetch broadcasts).
     */
   private def q83Pipeline(spark: SparkSession, dir: String): DataFrame = {
     val docs = tbl(spark, dir, "documents")
@@ -672,7 +683,7 @@ object SparkEntry {
       minMeanWordLen = 3.0, maxMeanWordLen = 4.6,
       minUniqueRatio = 0.45, minStopwordRatio = 0.05, maxPunctRatio = 0.2)
     val filtered = docs.where(rules.last._2 === 1) // "pass" conjunction
-    val deduped = Dedup.exact(filtered, "text", "doc_id").select(col("doc_id"))
+    val deduped = Dedup.exactByDigest(filtered, "text", "doc_id").select(col("doc_id"))
     val meta = filtered.select(col("doc_id"), col("source"),
       TextStats.tokenCount(col("text")).as("n_tok"))
     val train = Sampling.hashSplit(deduped.join(meta, Seq("doc_id")),
@@ -1372,7 +1383,8 @@ object SparkEntry {
     "q80_semdedup" -> (q80Semdedup _),
     "q81_lm_perplexity" -> (q81LmPerplexity _),
     "q82_stream_materialize" -> (q82StreamMaterialize _),
-    "q83_pipeline" -> (q83Pipeline _))
+    "q83_pipeline" -> (q83Pipeline _),
+    "q84_dedup_digest" -> (q84DedupDigest _))
 
   // ---- generated oracles for the hash-kernel queries -----------------------
   // Round 2 left q22/q23/q24/q26/q32/q39 rows-only because their outputs
@@ -1903,6 +1915,9 @@ object SparkEntry {
         |LEFT JOIN (SELECT event_id, value FROM je WHERE rn = 1) je USING (event_id)""".stripMargin,
     "q13_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, text, count(*) AS n_dups
+        |FROM documents GROUP BY text""".stripMargin,
+    "q84_dedup_digest" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_dups
         |FROM documents GROUP BY text""".stripMargin,
     "q14_ngram_jaccard" ->
       """WITH words AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents),

@@ -18,11 +18,57 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact dedup: one representative (min id) per identical content value. */
+  /** Exact dedup: one representative (min id) per identical content value.
+    * The grouping key is the RAW content column — correct, and the right
+    * shape ONLY when the content must appear in the output (q13): the full
+    * corpus text rides the exchange. When downstream needs just the
+    * representative ids, use [[exactByDigest]], which shuffles 16-byte
+    * digests instead.
+    */
   def exact(df: DataFrame, contentCol: String, idCol: String): DataFrame =
     df.groupBy(col(contentCol))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
       .select(col(idCol), col(contentCol), col("n_dups"))
+
+  /** Exact dedup keyed on a 128-bit content digest — the 100 TB shape of
+    * [[exact]]: the aggregate's shuffle carries only
+    * `(digest_hi, digest_lo, id)` narrow rows (two independent xxhash64
+    * lanes over the content; the second lane prepends a fixed salt literal,
+    * so the pair is a 128-bit fingerprint), never the content itself.
+    * Collision calculus: ~n²/2¹²⁹ expected colliding pairs — < 10⁻¹⁰ at a
+    * trillion documents — and a collision can only MERGE two distinct
+    * documents into one group (one extra row dropped), never duplicate.
+    * Same contract as [[exact]] ("identical content → one representative",
+    * the file.py:163-177 dedup analogue) minus the content column in the
+    * output: returns one `(id, n_dups)` row per distinct content, id = min.
+    *
+    * `verifyCollisions = true` adds a paranoia cross-check: one extra
+    * aggregate over the content column asserting `distinct(content)` equals
+    * the digest-group count — it costs the text shuffle this method exists
+    * to avoid, so it is for audits, not the hot path.
+    */
+  def exactByDigest(
+      df: DataFrame,
+      contentCol: String,
+      idCol: String,
+      verifyCollisions: Boolean = false): DataFrame = {
+    val digested = df.select(
+      xxhash64(col(contentCol)).as("__d1"),
+      xxhash64(lit(0x9E3779B97F4A7C15L), col(contentCol)).as("__d2"),
+      col(idCol))
+    val groups = digested
+      .groupBy(col("__d1"), col("__d2"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
+      .select(col(idCol), col("n_dups"))
+    if (verifyCollisions) {
+      val distinctContents = df.select(col(contentCol)).distinct().count()
+      val digestGroups = digested.select(col("__d1"), col("__d2")).distinct().count()
+      require(distinctContents == digestGroups,
+        s"exactByDigest 128-bit collision detected: $distinctContents distinct " +
+          s"contents vs $digestGroups digest groups — fall back to exact()")
+    }
+    groups
+  }
 
   /** Word shingles as 61-bit hashes: distinct n-grams of whitespace-split
     * words per doc, each shingle hashed with the portable
@@ -550,8 +596,16 @@ object Dedup {
     val rows = edges.collect()
     val index = scala.collection.mutable.HashMap.empty[Any, Int]
     val ids = scala.collection.mutable.ArrayBuffer.empty[Any]
+    // Array[Byte] hashes/compares by REFERENCE identity — normalize binary
+    // ids to a value-equal key so the same id collected from different rows
+    // maps to ONE union-find node (the distributed path's `least` compares
+    // binary by value; the driver path must agree).
+    def key(v: Any): Any = v match {
+      case b: Array[Byte] => scala.collection.immutable.ArraySeq.unsafeWrapArray(b)
+      case x => x
+    }
     def idx(v: Any): Int =
-      index.getOrElseUpdate(v, { ids += v; ids.size - 1 })
+      index.getOrElseUpdate(key(v), { ids += v; ids.size - 1 })
     rows.foreach { r => idx(r.get(0)); idx(r.get(1)) }
     val n = ids.size
     val parent = Array.tabulate(n)(identity)

@@ -381,6 +381,16 @@ object Similarity {
     * gated literal/kernel path, so production centroid counts work
     * unchanged.
     *
+    * The within-cell self-join is QUADRATIC in cell population — a
+    * degenerate quantizer (every vector in one cell) silently turns it into
+    * all-pairs N². `maxCellRows > 0` arms a planning-time guard (one count
+    * over the narrow checkpointed assignment frame — the same
+    * driver-side-scalar class as [[cosineNearDup]]'s targetBucketSize
+    * derivation) that FAILS FAST with the offending cell size instead of
+    * launching an N² join; the fix is more/better centroids (raise
+    * `nCentroids`, or set `trainIters > 0` so Lloyd spreads the cells).
+    * Default 0 keeps the guard off (existing oracles bit-identical).
+    *
     * @return (id1, id2, cell, cos) with id1 < id2, cos >= threshold.
     */
   def semDedupPairs(
@@ -390,7 +400,8 @@ object Similarity {
       nCentroids: Int,
       threshold: Double,
       trainIters: Int = 0,
-      maxLiteralCentroids: Int = defaultMaxLiteralCentroids): DataFrame = {
+      maxLiteralCentroids: Int = defaultMaxLiteralCentroids,
+      maxCellRows: Long = 0L): DataFrame = {
     val cents: Seq[(Any, Seq[Float])] =
       if (trainIters > 0)
         trainCentroids(df, idCol, vecCol, nCentroids, trainIters, maxLiteralCentroids)
@@ -401,7 +412,19 @@ object Similarity {
     val cidType =
       if (trainIters > 0) org.apache.spark.sql.types.IntegerType
       else df.select(col(idCol)).schema.head.dataType
+    // checkpoint: the assignment projection (k cosines per row, or the
+    // kernel scan) feeds BOTH sides of the self-join — compute it once
     val asg = cellIds(df, idCol, vecCol, cents, cidType, maxLiteralCentroids)
+      .localCheckpoint()
+    if (maxCellRows > 0L) {
+      val worst = asg.groupBy(col("__cid")).count()
+        .agg(max(col("count"))).head().getLong(0)
+      require(worst <= maxCellRows,
+        s"semDedup cell-size guard: largest cell holds $worst rows " +
+          s"(> maxCellRows=$maxCellRows); the within-cell self-join would " +
+          s"generate ~${worst}² candidate pairs. Raise nCentroids (currently " +
+          s"$nCentroids) or set trainIters > 0 to spread the quantizer.")
+    }
     val pairs = asg.as("x").join(asg.as("y"), Seq("__cid"))
       .where(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id1"), col(s"y.$idCol").as("id2"),
@@ -427,9 +450,10 @@ object Similarity {
       nCentroids: Int,
       threshold: Double,
       trainIters: Int = 0,
-      maxLiteralCentroids: Int = defaultMaxLiteralCentroids): DataFrame = {
+      maxLiteralCentroids: Int = defaultMaxLiteralCentroids,
+      maxCellRows: Long = 0L): DataFrame = {
     val pairs = semDedupPairs(df, idCol, vecCol, nCentroids, threshold,
-      trainIters, maxLiteralCentroids).select(col("id1"), col("id2"))
+      trainIters, maxLiteralCentroids, maxCellRows).select(col("id1"), col("id2"))
     Dedup.dropNearDuplicates(df, idCol, pairs)
   }
 

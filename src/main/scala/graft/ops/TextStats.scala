@@ -234,8 +234,16 @@ object TextStats {
     * more reference-like; `exp(lm_nll)` is the per-bigram perplexity.
     *
     * Shape at scale: the corpus is scanned ONCE into a compact
-    * (doc, b1, b2, count) frame (cached — it feeds both the model and the
-    * scoring); the reference model is two map-side-combinable aggregates
+    * (doc, b1, b2, count) frame — it feeds both the model and the scoring,
+    * so by default it is localCheckpoint'ed (eager): materialized to
+    * executor-local blocks whose storage is released when the frame is
+    * GC'd, unlike `cache()`, which pins a relation in the storage layer for
+    * the session lifetime (repeated Verify/Bench calls would accumulate).
+    * At corpus scales where even the compact frame shouldn't sit in
+    * block storage, pass `persistIntermediate = false` and stage the input
+    * through a [[graft.table.SnapshotTable]] instead — the bigram scan then
+    * runs twice but nothing is pinned; the reference model is two
+    * map-side-combinable aggregates
     * over it (≤ buckets² pair rows, ≤ buckets context rows). The model
     * joins back BROADCAST only while buckets² stays broadcast-sized
     * (≤ 2048 buckets ⇒ ≤ 4M pair cells); above that it is a plain shuffle
@@ -249,7 +257,8 @@ object TextStats {
       textCol: String,
       isRef: Column,
       buckets: Int,
-      seed: Long): DataFrame = {
+      seed: Long,
+      persistIntermediate: Boolean = true): DataFrame = {
     require(buckets > 0, "buckets > 0")
     import graft.functions.Mix61
     val ws = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
@@ -259,13 +268,13 @@ object TextStats {
         zip_with(slice(bs, lit(1), size(bs) - 1), slice(bs, lit(2), size(bs) - 1),
           (a, b) => struct(a.as("b1"), b.as("b2"))))
       .otherwise(array().cast("array<struct<b1:bigint,b2:bigint>>"))
-    val perDoc = df
+    val perDoc0 = df
       .select(col(idCol), isRef.as("__r"), explode(prs).as("__p"))
       .select(col(idCol), col("__r"),
         col("__p.b1").as("__b1"), col("__p.b2").as("__b2"))
       .groupBy(col(idCol), col("__b1"), col("__b2"))
       .agg(count(lit(1)).as("__c"), max(col("__r")).as("__r"))
-      .cache()
+    val perDoc = if (persistIntermediate) perDoc0.localCheckpoint() else perDoc0
     val refPairs0 = perDoc.where(col("__r"))
       .groupBy(col("__b1"), col("__b2")).agg(sum(col("__c")).as("__cp"))
     val refCtx0 = refPairs0.groupBy(col("__b1")).agg(sum(col("__cp")).as("__cc"))

@@ -16,7 +16,13 @@ final case class AsOfEvent(
     created: Long,
     value: Double)
 
-final case class AsOfStateRow(ts: Long, created: Long, value: Double)
+/** Keyed state of [[StreamFeatures.asOfEnrich]]. STATE FORMAT v2: `ts` is
+  * MICROseconds since epoch (v1, pre-release only, stored millis). The
+  * field is renamed (`ts` → `ts_us`) so a v1 checkpoint fails loudly on
+  * schema mismatch instead of silently misreading millis as micros; bump
+  * the name again on any future unit/semantic change.
+  */
+final case class AsOfStateRow(ts_us: Long, created: Long, value: Double)
 
 final case class AsOfEnriched(
     key: String,
@@ -163,12 +169,12 @@ object StreamFeatures {
           val out = Seq.newBuilder[AsOfEnriched]
           sorted.foreach { e =>
             if (e.is_feature) {
-              if (cur.forall(c => us(e.ts) > c.ts ||
-                  (us(e.ts) == c.ts && e.created >= c.created)))
+              if (cur.forall(c => us(e.ts) > c.ts_us ||
+                  (us(e.ts) == c.ts_us && e.created >= c.created)))
                 cur = Some(AsOfStateRow(us(e.ts), e.created, e.value))
             } else {
               val hit = cur.filter(c =>
-                c.ts <= us(e.ts) && c.ts >= us(e.ts) - ttlSeconds * 1000000L)
+                c.ts_us <= us(e.ts) && c.ts_us >= us(e.ts) - ttlSeconds * 1000000L)
               out += AsOfEnriched(key, e.ts, hit.map(_.value))
             }
           }

@@ -33,6 +33,25 @@ class OpsSpec extends SparkSpec {
     assert(out.keySet == Set(1L, 3L, 4L, 5L, 6L))
   }
 
+  test("exactByDigest equals exact (ids + counts) and never shuffles text") {
+    val byText = Dedup.exact(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val byDigest = Dedup.exactByDigest(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDigest == byText)
+    // paranoia mode passes on a collision-free corpus
+    val verified = Dedup.exactByDigest(docs, "text", "doc_id", verifyCollisions = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(verified == byText)
+    // the aggregate's exchange is keyed on the digest pair, not the text col
+    val plan = Dedup.exactByDigest(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    val exchangeLines = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchangeLines.nonEmpty)
+    assert(exchangeLines.forall(l => l.contains("__d1") && !l.contains("text#")),
+      s"dedup exchange must be digest-keyed:\n$plan")
+  }
+
   test("ngramJaccard matches the naive pairwise oracle") {
     val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val expected = (for {
@@ -272,6 +291,31 @@ class OpsSpec extends SparkSpec {
     assert(sLab == hLab && sLab.values.toSet == Set(0L))
     assert(starRounds.get <= 8, s"star took ${starRounds.get} rounds")
     assert(hmRounds.get >= 30, s"hash-min took only ${hmRounds.get} rounds")
+  }
+
+  test("binary ids: driver union-find ≡ distributed path (value equality, unsigned min)") {
+    import spark.implicits._
+    // the same binary id arrives from DIFFERENT rows as DIFFERENT Array[Byte]
+    // instances — the driver path must key them by VALUE, not reference.
+    // 0x80 > 0x01 unsigned: representative election must use unsigned order
+    // (Spark BinaryType `least`), not signed byte comparison.
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val pairs = Seq(
+      (b(0x80), b(0x01)), (b(0x01), b(0x7f)), // component {01, 7f, 80} -> 01
+      (b(0xff, 0x00), b(0xfe))) // component {fe, ff00} -> fe
+      .toDF("id1", "id2")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map { r =>
+        r.getAs[Array[Byte]](0).toSeq -> r.getAs[Array[Byte]](1).toSeq
+      }.toMap
+    val driver = toMap(Dedup.connectedComponents(pairs))
+    val dist = toMap(Dedup.connectedComponents(pairs, driverMaxEdges = 0L))
+    val expected = Map(
+      b(0x01).toSeq -> b(0x01).toSeq, b(0x7f).toSeq -> b(0x01).toSeq,
+      b(0x80).toSeq -> b(0x01).toSeq,
+      b(0xfe).toSeq -> b(0xfe).toSeq, b(0xff, 0x00).toSeq -> b(0xfe).toSeq)
+    assert(driver == expected) // one row per id — no reference-identity dupes
+    assert(dist == expected)
   }
 
   test("cosineNearDup: banded + corpus-scaled finds identical pairs; every pair verified") {

@@ -77,6 +77,25 @@ class SimilarityGateSpec extends SparkSpec {
     assert(rows(pairs) == rows(ker))
   }
 
+  test("semDedup cell-size guard: a degenerate one-cell quantizer fails fast") {
+    // every vector identical -> the coarse quantizer puts ALL rows in one
+    // cell; the guard must refuse the N² self-join with an actionable error
+    val one = Array.fill(16)(1.0f)
+    val degenerate = (0L until 40L).map(i => (i, one)).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semDedupPairs(degenerate, "vec_id", "embedding",
+        nCentroids = 4, threshold = 0.9, maxCellRows = 10L)
+    }
+    assert(e.getMessage.contains("cell-size guard"))
+    assert(e.getMessage.contains("nCentroids"))
+    // a healthy corpus under the same bound passes and results are unchanged
+    val guarded = Similarity.semDedupPairs(df, "vec_id", "embedding",
+      nCentroids = 8, threshold = 0.2, maxCellRows = 48L)
+    val unguarded = Similarity.semDedupPairs(df, "vec_id", "embedding",
+      nCentroids = 8, threshold = 0.2)
+    assert(rows(guarded) == rows(unguarded))
+  }
+
   test("pqTopK: kernel ADC ranking equals literal ADC ranking exactly") {
     val books = Similarity.pqCodebooks(df, "vec_id", "embedding", m = 4, k = 8)
     val lit = Similarity.pqTopK(df, queries, "vec_id", "embedding", k = 3, books)
