@@ -1300,6 +1300,25 @@ object SparkEntry {
     table.read(spark)
   }
 
+  /** S10 at the 100 TB posture: q77's overlapping-batch upsert through the
+    * BUCKET-SCOPED path — the second batch rewrites only the data files
+    * whose key buckets it touches; every other file is carried into the new
+    * manifest by reference (Materialize.upsertLatestBucketed). Same oracle
+    * semantics as q77: latest (ts, event_id) per user across both batches.
+    */
+  private def q85UpsertBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val table = graft.table.SnapshotTable(s"${scratchDir("graft_upsert_b")}/online")
+    val ev = tbl(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+    Materialize.upsertLatestBucketed(table,
+      ev.where(col("event_type").isin("click", "view", "signup")),
+      Seq("user_id"), "ts", ties = Seq("event_id"), nBuckets = 8)
+    Materialize.upsertLatestBucketed(table,
+      ev.where(col("event_type").isin("purchase", "error")),
+      Seq("user_id"), "ts", ties = Seq("event_id"), nBuckets = 8)
+    table.read(spark)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pit_asof" -> (q01PitAsof _),
     "q02_latest_per_key" -> (q02LatestPerKey _),
@@ -1384,7 +1403,8 @@ object SparkEntry {
     "q81_lm_perplexity" -> (q81LmPerplexity _),
     "q82_stream_materialize" -> (q82StreamMaterialize _),
     "q83_pipeline" -> (q83Pipeline _),
-    "q84_dedup_digest" -> (q84DedupDigest _))
+    "q84_dedup_digest" -> (q84DedupDigest _),
+    "q85_upsert_bucketed" -> (q85UpsertBucketed _))
 
   // ---- generated oracles for the hash-kernel queries -----------------------
   // Round 2 left q22/q23/q24/q26/q32/q39 rows-only because their outputs
@@ -2327,6 +2347,11 @@ object SparkEntry {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
         |  FROM events) WHERE rn = 1""".stripMargin,
     "q77_online_upsert" ->
+      """SELECT user_id, ts, event_id, event_type, value FROM (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+    "q85_upsert_bucketed" ->
       """SELECT user_id, ts, event_id, event_type, value FROM (
         |  SELECT user_id, ts, event_id, event_type, value,
         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn

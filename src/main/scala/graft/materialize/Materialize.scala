@@ -91,6 +91,60 @@ object Materialize {
     table.commit(latestPerKey(merged, keys, ts, createdTs, ties), numFiles)
   }
 
+  /** Key-bucket-scoped [[upsertLatest]] — the 100 TB shape. [[upsertLatest]]
+    * rewrites the whole latest table per batch (fine while the online table
+    * is small); here the table's data files are partitioned by a
+    * deterministic key-hash bucket recorded per file in the snapshot
+    * manifest ([[graft.table.FileStat.bucket]]), and a batch rewrites ONLY
+    * the files whose buckets it touches — a merge-on-write restricted to
+    * intersecting files, exactly Iceberg's partition-scoped overwrite. The
+    * untouched files are carried into the new manifest by reference, never
+    * read, copied, or rewritten, so per-batch cost is O(touched buckets'
+    * rows), not O(table). Semantics are byte-identical to [[upsertLatest]]
+    * (same latest-per-key resolution, same order-independent convergence —
+    * an incoming row loses to a stored newer row), spec-asserted.
+    *
+    * Size `nBuckets` so one bucket ≈ one comfortable task (rows/nBuckets ×
+    * row width ~ 100-500 MB); a hot-key batch still only pays for the
+    * buckets it lands in. A legacy/compacted snapshot with unbucketed files
+    * is upgraded in place: those files count as touched once, then every
+    * later upsert is bucket-scoped.
+    */
+  def upsertLatestBucketed(
+      table: graft.table.SnapshotTable,
+      batch: DataFrame,
+      keys: Seq[String],
+      ts: String,
+      createdTs: Option[String] = None,
+      ties: Seq[String] = Nil,
+      nBuckets: Int = 64): graft.table.Snapshot = {
+    require(nBuckets >= 1, "nBuckets >= 1")
+    val spark = batch.sparkSession
+    val bucketExpr =
+      pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong)).cast("int")
+    // planning-time scalar, bounded by nBuckets (the documented collect class)
+    val touched = batch.select(bucketExpr.as("__bucket"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val (reread, carry) = table.currentSnapshot match {
+      case Some(snap) =>
+        val (hit, miss) = snap.files.partition(
+          f => f.bucket.isEmpty || f.bucket.exists(touched.contains))
+        val hitRows =
+          if (hit.isEmpty) None
+          else Some(spark.read.schema(batch.schema)
+            .parquet(hit.map(_.path): _*))
+        (hitRows, miss)
+      case None => (None, Nil)
+    }
+    val merged = reread match {
+      case Some(cur) => cur.unionByName(batch)
+      case None => batch
+    }
+    val resolved = latestPerKey(merged, keys, ts, createdTs, ties)
+      .withColumn("__bucket", bucketExpr)
+    table.commitBucketed(resolved, "__bucket", carryForward = carry)
+  }
+
   /** Online point-lookup emulation with per-row field status — the batch
     * analogue of the reference's `get_online_features` response assembly
     * (feast feature_store.py:578-616; statuses

@@ -24,7 +24,14 @@ import org.apache.spark.sql.functions._
   * (Cimpress-MCP/feast registry.py:208-246) — the reference's only
   * resume/checkpoint primitive — generalized to file-level lineage.
   */
-final case class FileStat(path: String, rows: Long, bytes: Long)
+/** Per-file lineage: row/byte stats plus, for bucket-partitioned commits
+  * ([[SnapshotTable.commitBucketed]]), the key-hash bucket the file holds —
+  * the manifest-level stat that lets an upsert rewrite ONLY intersecting
+  * files (the Iceberg per-file partition-stats analogue). `None` = written
+  * by a plain commit (no bucket contract).
+  */
+final case class FileStat(path: String, rows: Long, bytes: Long,
+    bucket: Option[Int] = None)
 final case class Snapshot(
     snapshotId: Long,
     parentId: Option[Long],
@@ -56,10 +63,47 @@ final class SnapshotTable(val root: String) {
     val dataDir = Paths.get(root, "data", f"$id%09d")
     val toWrite = if (numFiles > 0) df.repartition(numFiles) else df
     toWrite.write.mode("errorifexists").parquet(dataDir.toString)
-
     val files = listParquet(dataDir).map { p =>
       FileStat(p.toString, parquetRowCount(p), Files.size(p))
     }
+    publish(id, parent, files, watermark)
+  }
+
+  /** Bucket-partitioned commit, the write half of
+    * [[graft.materialize.Materialize.upsertLatestBucketed]]: `df`'s rows are
+    * written into per-bucket parquet files (`bucketCol` becomes the
+    * directory key and is NOT stored in the files — manifest metadata
+    * only, so plain and bucketed snapshots share one table schema), each
+    * [[FileStat]] records its bucket, and `carryForward` file stats from
+    * the PARENT snapshot are re-referenced verbatim — those files are never
+    * copied or rewritten; the new manifest just points at them. Snapshots
+    * may therefore SHARE data files ([[expireSnapshots]] is reference-aware).
+    */
+  def commitBucketed(
+      df: DataFrame,
+      bucketCol: String,
+      carryForward: Seq[FileStat] = Nil,
+      watermark: Option[String] = None): Snapshot = {
+    Files.createDirectories(metaDir)
+    val parent = currentSnapshotId
+    val id = parent.getOrElse(0L) + 1L
+    val dataDir = Paths.get(root, "data", f"$id%09d")
+    // one shuffle on the bucket key -> every bucket lands whole in one task
+    // -> exactly one file per non-empty bucket under bucketCol=<k>/
+    df.repartition(org.apache.spark.sql.functions.col(bucketCol))
+      .write.mode("errorifexists").partitionBy(bucketCol).parquet(dataDir.toString)
+    val bucketRe = (java.util.regex.Pattern.quote(bucketCol) + "=(\\d+)").r
+    val files = listParquet(dataDir).map { p =>
+      val b = bucketRe.findFirstMatchIn(p.toString).map(_.group(1).toInt)
+        .getOrElse(throw new IllegalStateException(
+          s"bucketed commit produced a file outside a $bucketCol= dir: $p"))
+      FileStat(p.toString, parquetRowCount(p), Files.size(p), Some(b))
+    }
+    publish(id, parent, carryForward ++ files, watermark)
+  }
+
+  private def publish(id: Long, parent: Option[Long], files: Seq[FileStat],
+      watermark: Option[String]): Snapshot = {
     val snap = Snapshot(id, parent, files, watermark)
     val tmp = metaDir.resolve(s".snap-$id.tmp")
     Files.write(tmp, toJson(snap).getBytes(StandardCharsets.UTF_8))
@@ -122,26 +166,36 @@ final class SnapshotTable(val root: String) {
   }
 
   /** Snapshot retention (the Iceberg `expire_snapshots` analogue): keep the
-    * newest `keepLast` snapshots of the chain, delete every older
-    * manifest AND its immutable data directory (commits never share files,
-    * so an expired snapshot's directory is referenced by nothing else).
-    * Time travel to an expired id fails afterwards — that is the point
-    * (bounded storage); lineage above the cut is preserved. Returns the
-    * expired snapshot ids.
+    * newest `keepLast` snapshots of the chain, delete every older manifest
+    * and every data file NOT referenced by a kept snapshot. Bucketed
+    * upserts carry files forward across commits, so snapshots share files —
+    * deletion is reference-counted against the kept set, exactly like
+    * Iceberg's reachability-based expiry. Time travel to an expired id
+    * fails afterwards — that is the point (bounded storage); lineage above
+    * the cut is preserved. Returns the expired snapshot ids.
     */
   def expireSnapshots(keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val chain = history
+    val live = chain.take(keepLast).flatMap(_.files.map(_.path)).toSet
     val expired = chain.drop(keepLast)
     expired.map { s =>
-      // data dirs are per-snapshot (data/<id>/); remove files then the dir
-      s.files.map(f => Paths.get(f.path).getParent).distinct.foreach { dir =>
-        if (Files.exists(dir)) {
-          val walk = Files.walk(dir)
-          try walk.sorted(java.util.Comparator.reverseOrder[Path]())
-            .iterator().asScala.foreach(p => Files.deleteIfExists(p))
-          finally walk.close()
-        }
+      // each expired snapshot owns data/<its id>/; delete its non-live
+      // files (incl. _SUCCESS markers), then any dirs emptied by that
+      val dataDir = Paths.get(root, "data", f"${s.snapshotId}%09d")
+      if (Files.exists(dataDir)) {
+        val walk = Files.walk(dataDir)
+        try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach { p =>
+            if (Files.isRegularFile(p)) {
+              if (!live.contains(p.toString)) Files.deleteIfExists(p)
+            } else {
+              val ls = Files.list(p)
+              val empty = try !ls.iterator().hasNext finally ls.close()
+              if (empty) Files.deleteIfExists(p)
+            }
+          }
+        finally walk.close()
       }
       Files.deleteIfExists(manifestPath(s.snapshotId))
       s.snapshotId
@@ -170,8 +224,10 @@ final class SnapshotTable(val root: String) {
     case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
   }
   private def toJson(s: Snapshot): String = {
-    val fs = s.files.map(f => s"""{"path":"${esc(f.path)}","rows":${f.rows},"bytes":${f.bytes}}""")
-      .mkString("[", ",", "]")
+    val fs = s.files.map { f =>
+      val b = f.bucket.map(k => s""","bucket":$k""").getOrElse("")
+      s"""{"path":"${esc(f.path)}","rows":${f.rows},"bytes":${f.bytes}$b}"""
+    }.mkString("[", ",", "]")
     val par = s.parentId.map(_.toString).getOrElse("null")
     val wm = s.watermark.map(w => "\"" + esc(w) + "\"").getOrElse("null")
     s"""{"snapshotId":${s.snapshotId},"parentId":$par,"watermark":$wm,"files":$fs}"""
@@ -183,9 +239,10 @@ final class SnapshotTable(val root: String) {
     val parent = s""""parentId":\\s*(null|-?\\d+)""".r.findFirstMatchIn(j)
       .map(_.group(1)).filter(_ != "null").map(_.toLong)
     val wm = s""""watermark":\\s*"((?:[^"\\\\]|\\\\.)*)"""".r.findFirstMatchIn(j).map(_.group(1))
-    val fileRe = """\{"path":"((?:[^"\\]|\\.)*)","rows":(\d+),"bytes":(\d+)\}""".r
+    val fileRe = """\{"path":"((?:[^"\\]|\\.)*)","rows":(\d+),"bytes":(\d+)(?:,"bucket":(\d+))?\}""".r
     val files = fileRe.findAllMatchIn(j).map { m =>
-      FileStat(m.group(1).replace("\\\\", "\\").replace("\\\"", "\""), m.group(2).toLong, m.group(3).toLong)
+      FileStat(m.group(1).replace("\\\\", "\\").replace("\\\"", "\""),
+        m.group(2).toLong, m.group(3).toLong, Option(m.group(4)).map(_.toInt))
     }.toSeq
     Snapshot(id, parent, files, wm)
   }

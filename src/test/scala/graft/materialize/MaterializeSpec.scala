@@ -80,4 +80,50 @@ class MaterializeSpec extends SparkSpec {
     // compacted: exactly one stored row per key, no read-time resolution
     assert(table.currentSnapshot.get.totalRows == 3)
   }
+
+  test("upsertLatestBucketed: small batch rewrites only intersecting files, " +
+      "carried files stay byte-identical, semantics equal upsertLatest") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_upsert_bucketed_spec")
+    val table = graft.table.SnapshotTable(s"$root/bucketed")
+    val plain = graft.table.SnapshotTable(s"$root/plain")
+    def rows(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Double)] =
+      df.collect().map(r => r.getAs[Long]("k") ->
+        ((r.getAs[Timestamp]("ts").getTime, r.getAs[Double]("v")))).toMap
+    def sha(p: String): Seq[Byte] =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(Files.readAllBytes(Paths.get(p))).toSeq
+
+    val b1 = (1L to 40L).map(k => (k, t(k), k * 1.0)).toDF("k", "ts", "v")
+    Materialize.upsertLatestBucketed(table, b1, Seq("k"), "ts", nBuckets = 8)
+    Materialize.upsertLatest(plain, b1, Seq("k"), "ts")
+    val snap1 = table.currentSnapshot.get
+    assert(snap1.files.nonEmpty && snap1.files.forall(_.bucket.isDefined))
+    val before = snap1.files.map(f => f.path -> sha(f.path)).toMap
+
+    // batch 2 touches at most two buckets: key 1 STALE (must lose) + key 41 new
+    val b2 = Seq((1L, t(0), 9.9), (41L, t(41), 41.0)).toDF("k", "ts", "v")
+    Materialize.upsertLatestBucketed(table, b2, Seq("k"), "ts", nBuckets = 8)
+    Materialize.upsertLatest(plain, b2, Seq("k"), "ts")
+    val snap2 = table.currentSnapshot.get
+    val paths1 = snap1.files.map(_.path).toSet
+    val carried = snap2.files.map(_.path).toSet.intersect(paths1)
+    val rewritten = snap2.files.map(_.path).toSet -- paths1
+    // strict subset rewritten: ≤ 2 touched buckets out of ≥ 6 non-empty
+    assert(rewritten.nonEmpty && carried.nonEmpty)
+    assert(rewritten.size < snap1.files.size,
+      s"rewrote ${rewritten.size} of ${snap1.files.size} files — not scoped")
+    carried.foreach(p => assert(sha(p) == before(p), s"carried file mutated: $p"))
+    // read-back equals the whole-table-rewrite path exactly (stale row lost)
+    assert(rows(table.read(spark)) == rows(plain.read(spark)))
+    assert(rows(table.read(spark))(1L) == ((t(1).getTime, 1.0)))
+    assert(rows(table.read(spark))(41L) == ((t(41).getTime, 41.0)))
+    // time travel still works across shared-file snapshots
+    assert(rows(table.read(spark, asOf = Some(1L))).keySet == (1L to 40L).toSet)
+    // reference-aware expiry: snapshot 1 dies, but files it SHARES with the
+    // current snapshot survive — current stays fully readable
+    assert(table.expireSnapshots(keepLast = 1) == Seq(1L))
+    assert(rows(table.read(spark)) == rows(plain.read(spark)))
+    intercept[IllegalStateException](table.read(spark, asOf = Some(1L)))
+  }
 }
