@@ -16,6 +16,14 @@ import graft.fe.Windows
   */
 case class Ev(user_id: Long, ts: Timestamp, value: Double)
 
+/** The EXACT column set `readStream.format("kafka")` emits (Spark Kafka
+  * source wire schema) — [[StreamFeaturesSpec]] drives decode through it to
+  * prove the seam needs zero code when a real broker appears.
+  */
+case class KafkaRec(
+    key: Array[Byte], value: Array[Byte], topic: String, partition: Int,
+    offset: Long, timestamp: Timestamp, timestampType: Int)
+
 class StreamFeaturesSpec extends SparkSpec {
 
   private def events: Seq[Ev] = {
@@ -98,6 +106,46 @@ class StreamFeaturesSpec extends SparkSpec {
       StreamFeatures.tumbling(decoded, "user_id", "ts", "10 minutes",
         watermarkDelay = "1 hour", valueCol = "value"),
       "t_decoded")
+    val batch = Windows.tumbling(events.toDF(), Seq("user_id"), "ts", 600,
+      Seq(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value")))
+    val s = streamed.orderBy("user_id", "win_start").collect().toSeq
+    val b = batch.orderBy("user_id", "win_start").collect().toSeq
+    assert(s.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))) ==
+      b.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))))
+  }
+
+  test("Kafka-shaped wire rows (binary key/value + broker metadata) decode and window unchanged") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // the full Kafka source surface: BINARY key and value plus
+    // topic/partition/offset/timestamp/timestampType metadata columns —
+    // decode must key off `value` and ignore the rest, exactly as it will
+    // when `readStream.format("kafka")` replaces the MemoryStream.
+    val schema = StructType(Seq(
+      StructField("uid", LongType), StructField("ts", TimestampType),
+      StructField("v", DoubleType)))
+    val source = graft.model.StreamSource(
+      topic = "events", bootstrapServers = "broker:9092",
+      format = graft.model.StreamFormat.Json(schema),
+      eventTimestampColumn = "ts",
+      fieldMapping = Map("uid" -> "user_id", "v" -> "value"))
+    val wire = events.zipWithIndex.map { case (e, i) =>
+      KafkaRec(
+        key = e.user_id.toString.getBytes("UTF-8"),
+        value = s"""{"uid":${e.user_id},"ts":"${e.ts.toInstant}","v":${e.value}}"""
+          .getBytes("UTF-8"),
+        topic = "events", partition = (e.user_id % 2).toInt, offset = i.toLong,
+        timestamp = new Timestamp(e.ts.getTime + 250L), // broker arrival time
+        timestampType = 0)
+    }
+    val mem = MemoryStream[KafkaRec](spark)
+    mem.addData(wire: _*)
+    val decoded = StreamFeatures.decode(mem.toDF(), source)
+    assert(decoded.columns.toSeq == Seq("user_id", "ts", "value")) // payload only
+    val streamed = runStream(
+      StreamFeatures.tumbling(decoded, "user_id", "ts", "10 minutes",
+        watermarkDelay = "1 hour", valueCol = "value"),
+      "t_kafka_wire")
     val batch = Windows.tumbling(events.toDF(), Seq("user_id"), "ts", 600,
       Seq(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value")))
     val s = streamed.orderBy("user_id", "win_start").collect().toSeq
