@@ -111,6 +111,15 @@ object Main {
       new Registry(spark, registryPath).apply(Nil)
       println(s"Created registry at $registryPath")
 
+    // Interop: write the applied registry in the reference's protobuf wire
+    // layout (Registry.proto) so a reference deployment can read it.
+    case "export-registry" :: registryPath :: outPath :: rest if rest.size <= 1 =>
+      graft.model.RegistryProto.export(
+        new Registry(spark, registryPath), outPath,
+        project = rest.headOption.getOrElse("default"),
+        lastUpdated = Instant.now())
+      println(s"Exported registry to $outPath")
+
     case "teardown" :: registryPath :: Nil =>
       val root = java.nio.file.Paths.get(registryPath)
       // the registry is a directory of JSON part files; interval logs are
@@ -131,7 +140,7 @@ object Main {
 
     case other =>
       sys.error(
-        "usage: apply|feature-views list|entities list|init|teardown|" +
+        "usage: apply|feature-views list|entities list|init|teardown|export-registry|" +
           "materialize|materialize-incremental|retrieve|get-online-features ..." +
           s" (got: ${other.mkString(" ")})")
   }
