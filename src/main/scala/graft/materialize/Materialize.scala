@@ -108,7 +108,12 @@ object Materialize {
     * row width ~ 100-500 MB); a hot-key batch still only pays for the
     * buckets it lands in. A legacy/compacted snapshot with unbucketed files
     * is upgraded in place: those files count as touched once, then every
-    * later upsert is bucket-scoped.
+    * later upsert is bucket-scoped. The manifest records the bucket modulus
+    * ([[graft.table.Snapshot.bucketModulus]]); changing `nBuckets` between
+    * batches is safe — the mismatch forces one full rebucketing rewrite
+    * instead of silently carrying files whose bucket ids were computed
+    * under a different modulus. The key COLUMNS must stay the same across
+    * batches (they define the hash; the table has one key schema).
     */
   def upsertLatestBucketed(
       table: graft.table.SnapshotTable,
@@ -127,8 +132,14 @@ object Materialize {
       .distinct().collect().map(_.getInt(0)).toSet
     val (reread, carry) = table.currentSnapshot match {
       case Some(snap) =>
+        // A file's bucket id only means something under the modulus it was
+        // written with: carrying a bucket=3-of-64 file past a nBuckets=16
+        // upsert would duplicate keys. On mismatch every file counts as
+        // touched once (full self-healing rewrite under the new modulus),
+        // then later upserts are bucket-scoped again.
+        val sameModulus = snap.bucketModulus.contains(nBuckets)
         val (hit, miss) = snap.files.partition(
-          f => f.bucket.isEmpty || f.bucket.exists(touched.contains))
+          f => f.bucket.isEmpty || !sameModulus || f.bucket.exists(touched.contains))
         val hitRows =
           if (hit.isEmpty) None
           else Some(spark.read.schema(batch.schema)
@@ -142,7 +153,7 @@ object Materialize {
     }
     val resolved = latestPerKey(merged, keys, ts, createdTs, ties)
       .withColumn("__bucket", bucketExpr)
-    table.commitBucketed(resolved, "__bucket", carryForward = carry)
+    table.commitBucketed(resolved, "__bucket", modulus = nBuckets, carryForward = carry)
   }
 
   /** Online point-lookup emulation with per-row field status — the batch

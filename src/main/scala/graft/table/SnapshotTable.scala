@@ -37,7 +37,12 @@ final case class Snapshot(
     parentId: Option[Long],
     files: Seq[FileStat],
     // checkpoint payload: arbitrary key (e.g. interval id) -> done marker
-    watermark: Option[String]) {
+    watermark: Option[String],
+    // modulus the files' buckets were computed under (bucketed commits
+    // only). A per-file bucket id is meaningless without it: bucket 3 under
+    // modulus 64 and bucket 3 under modulus 16 hold different key sets, so
+    // an upsert must not carry files across a modulus change.
+    bucketModulus: Option[Int] = None) {
   def totalRows: Long = files.map(_.rows).sum
   def totalBytes: Long = files.map(_.bytes).sum
 }
@@ -82,6 +87,7 @@ final class SnapshotTable(val root: String) {
   def commitBucketed(
       df: DataFrame,
       bucketCol: String,
+      modulus: Int,
       carryForward: Seq[FileStat] = Nil,
       watermark: Option[String] = None): Snapshot = {
     Files.createDirectories(metaDir)
@@ -99,12 +105,12 @@ final class SnapshotTable(val root: String) {
           s"bucketed commit produced a file outside a $bucketCol= dir: $p"))
       FileStat(p.toString, parquetRowCount(p), Files.size(p), Some(b))
     }
-    publish(id, parent, carryForward ++ files, watermark)
+    publish(id, parent, carryForward ++ files, watermark, Some(modulus))
   }
 
   private def publish(id: Long, parent: Option[Long], files: Seq[FileStat],
-      watermark: Option[String]): Snapshot = {
-    val snap = Snapshot(id, parent, files, watermark)
+      watermark: Option[String], bucketModulus: Option[Int] = None): Snapshot = {
+    val snap = Snapshot(id, parent, files, watermark, bucketModulus)
     val tmp = metaDir.resolve(s".snap-$id.tmp")
     Files.write(tmp, toJson(snap).getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath(id))
@@ -230,7 +236,8 @@ final class SnapshotTable(val root: String) {
     }.mkString("[", ",", "]")
     val par = s.parentId.map(_.toString).getOrElse("null")
     val wm = s.watermark.map(w => "\"" + esc(w) + "\"").getOrElse("null")
-    s"""{"snapshotId":${s.snapshotId},"parentId":$par,"watermark":$wm,"files":$fs}"""
+    val mod = s.bucketModulus.map(m => s""","bucketModulus":$m""").getOrElse("")
+    s"""{"snapshotId":${s.snapshotId},"parentId":$par,"watermark":$wm$mod,"files":$fs}"""
   }
   private def fromJson(j: String): Snapshot = {
     def longField(k: String): Option[Long] =
@@ -244,6 +251,7 @@ final class SnapshotTable(val root: String) {
       FileStat(m.group(1).replace("\\\\", "\\").replace("\\\"", "\""),
         m.group(2).toLong, m.group(3).toLong, Option(m.group(4)).map(_.toInt))
     }.toSeq
-    Snapshot(id, parent, files, wm)
+    Snapshot(id, parent, files, wm,
+      longField("bucketModulus").map(_.toInt))
   }
 }

@@ -125,5 +125,28 @@ class MaterializeSpec extends SparkSpec {
     assert(table.expireSnapshots(keepLast = 1) == Seq(1L))
     assert(rows(table.read(spark)) == rows(plain.read(spark)))
     intercept[IllegalStateException](table.read(spark, asOf = Some(1L)))
+
+    // modulus change: bucket ids from nBuckets=8 mean nothing under
+    // nBuckets=4 — the mismatch must force a full rebucketing rewrite
+    // (nothing carried), keep exact semantics, and re-enable scoped
+    // upserts under the new modulus
+    assert(table.currentSnapshot.get.bucketModulus.contains(8))
+    val preRebucket = table.currentSnapshot.get.files.map(_.path).toSet
+    val b3 = Seq((2L, t(100), 2.5)).toDF("k", "ts", "v")
+    Materialize.upsertLatestBucketed(table, b3, Seq("k"), "ts", nBuckets = 4)
+    Materialize.upsertLatest(plain, b3, Seq("k"), "ts")
+    val snap3 = table.currentSnapshot.get
+    assert(snap3.bucketModulus.contains(4))
+    assert(snap3.files.map(_.path).toSet.intersect(preRebucket).isEmpty,
+      "files bucketed under modulus 8 were carried past a modulus-4 upsert")
+    assert(rows(table.read(spark)) == rows(plain.read(spark)))
+    // and the next modulus-4 upsert is scoped again
+    val b4 = Seq((3L, t(101), 3.5)).toDF("k", "ts", "v")
+    Materialize.upsertLatestBucketed(table, b4, Seq("k"), "ts", nBuckets = 4)
+    Materialize.upsertLatest(plain, b4, Seq("k"), "ts")
+    val snap4 = table.currentSnapshot.get
+    assert(snap4.files.map(_.path).toSet.intersect(
+      snap3.files.map(_.path).toSet).nonEmpty, "modulus-4 upsert not scoped")
+    assert(rows(table.read(spark)) == rows(plain.read(spark)))
   }
 }
