@@ -64,7 +64,9 @@ object DigestBench {
       (sec, rows, shuffleBytes.get())
     }
 
-    // warm codegen/JVM on a slice (not measured)
+    // warm BOTH plans' codegen/JIT on a slice (not measured) — warming only
+    // one would bias its timed run
+    graft.ops.Dedup.exact(docs.limit(1000), "text", "doc_id").count()
     graft.ops.Dedup.exactByDigest(docs.limit(1000), "text", "doc_id").count()
 
     val (tText, rText, bText) = measured(

@@ -456,7 +456,7 @@ object SparkEntry {
     * the wide-payload routing end-to-end. Same oracle as q18.
     */
   private def q41FeatureStoreTokens(spark: SparkSession, dir: String): DataFrame = {
-    val out = "/tmp/graft_verify_sink/q41_src"
+    val out = scratchDir("graft_q41_src").toString
     val anchor = 1618185600L
     val docs = tbl(spark, dir, "documents")
     docs.select(
@@ -577,8 +577,8 @@ object SparkEntry {
     * source), different TTLs, and different timestamp grids.
     */
   private def q47TwoWideViews(spark: SparkSession, dir: String): DataFrame = {
-    val outA = "/tmp/graft_verify_sink/q47_src_a"
-    val outB = "/tmp/graft_verify_sink/q47_src_b"
+    val outA = scratchDir("graft_q47_src_a").toString
+    val outB = scratchDir("graft_q47_src_b").toString
     val anchor = 1618185600L
     val docs = tbl(spark, dir, "documents")
     def charCodes(n: Int) = transform(

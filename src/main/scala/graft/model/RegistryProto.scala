@@ -69,6 +69,8 @@ object RegistryProto {
     }
     /** Sub-message: written even when empty (message PRESENCE is data). */
     def msg(field: Int, m: W): W = raw(field, m.bytes)
+    /** Verbatim append of already-encoded (tagged) fields. */
+    def append(encoded: Array[Byte]): W = { out.write(encoded, 0, encoded.length); this }
     def bytes: Array[Byte] = out.toByteArray
   }
 
@@ -157,9 +159,9 @@ object RegistryProto {
     full.str(3, "1") // REGISTRY_SCHEMA_VERSION (registry.py:36)
       .str(4, vid)
     if (lastUpdated != java.time.Instant.EPOCH) full.msg(5, tsMsg(lastUpdated))
-    sorted.foreach(v =>
-      full.msg(6, viewMsg(v, project, intervals.getOrElse(v.name, Nil))))
-    full.bytes
+    // viewBytes already holds the field-6-tagged views (it fed the content
+    // hash) — append verbatim rather than encoding the tree a second time
+    full.append(viewBytes).bytes
   }
 
   /** Export a [[Registry]]'s applied views (and each view's completed

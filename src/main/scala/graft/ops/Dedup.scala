@@ -32,11 +32,15 @@ object Dedup {
 
   /** Exact dedup keyed on a 128-bit content digest — the 100 TB shape of
     * [[exact]]: the aggregate's shuffle carries only
-    * `(digest_hi, digest_lo, id)` narrow rows (two independent xxhash64
-    * lanes over the content; the second lane prepends a fixed salt literal,
-    * so the pair is a 128-bit fingerprint), never the content itself.
-    * Collision calculus: ~n²/2¹²⁹ expected colliding pairs — < 10⁻¹⁰ at a
-    * trillion documents — and a collision can only MERGE two distinct
+    * `(digest_hi, digest_lo, id)` narrow rows (two xxhash64 lanes over the
+    * content, the second re-seeded by a fixed salt prefix — a 128-bit
+    * fingerprint), never the content itself. Collision calculus: under the
+    * random-oracle idealization ~n²/2¹²⁹ colliding pairs (< 10⁻¹⁰ at a
+    * trillion documents); the two lanes are re-seeded runs of the SAME
+    * non-cryptographic function, not formally independent, so an
+    * ADVERSARIAL corpus could target XXH64's structure — for untrusted
+    * input or audit-grade runs set `verifyCollisions = true` (or swap the
+    * second lane for `sha2`). A collision can only MERGE two distinct
     * documents into one group (one extra row dropped), never duplicate.
     * Same contract as [[exact]] ("identical content → one representative",
     * the file.py:163-177 dedup analogue) minus the content column in the

@@ -412,13 +412,27 @@ object Similarity {
     val cidType =
       if (trainIters > 0) org.apache.spark.sql.types.IntegerType
       else df.select(col(idCol)).schema.head.dataType
+    // empty corpus -> no centroids -> no cells: return the empty pairs
+    // frame directly (rankedCellsExpr cannot type a zero-centroid array)
+    if (cents.isEmpty) {
+      val idType = df.select(col(idCol)).schema.head.dataType
+      return df.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id1", idType),
+          org.apache.spark.sql.types.StructField("id2", idType),
+          org.apache.spark.sql.types.StructField("cell", cidType),
+          org.apache.spark.sql.types.StructField("cos",
+            org.apache.spark.sql.types.DoubleType))))
+    }
     // checkpoint: the assignment projection (k cosines per row, or the
     // kernel scan) feeds BOTH sides of the self-join — compute it once
     val asg = cellIds(df, idCol, vecCol, cents, cidType, maxLiteralCentroids)
       .localCheckpoint()
     if (maxCellRows > 0L) {
-      val worst = asg.groupBy(col("__cid")).count()
-        .agg(max(col("count"))).head().getLong(0)
+      // max() over zero rows is NULL — an empty corpus passes vacuously
+      val worst = Option(asg.groupBy(col("__cid")).count()
+        .agg(max(col("count"))).head().get(0)).fold(0L)(_.asInstanceOf[Long])
       require(worst <= maxCellRows,
         s"semDedup cell-size guard: largest cell holds $worst rows " +
           s"(> maxCellRows=$maxCellRows); the within-cell self-join would " +

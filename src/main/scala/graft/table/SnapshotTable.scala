@@ -185,24 +185,40 @@ final class SnapshotTable(val root: String) {
     val chain = history
     val live = chain.take(keepLast).flatMap(_.files.map(_.path)).toSet
     val expired = chain.drop(keepLast)
-    expired.map { s =>
-      // each expired snapshot owns data/<its id>/; delete its non-live
-      // files (incl. _SUCCESS markers), then any dirs emptied by that
-      val dataDir = Paths.get(root, "data", f"${s.snapshotId}%09d")
-      if (Files.exists(dataDir)) {
-        val walk = Files.walk(dataDir)
-        try walk.sorted(java.util.Comparator.reverseOrder[Path]())
-          .iterator().asScala.foreach { p =>
-            if (Files.isRegularFile(p)) {
-              if (!live.contains(p.toString)) Files.deleteIfExists(p)
-            } else {
-              val ls = Files.list(p)
-              val empty = try !ls.iterator().hasNext finally ls.close()
-              if (empty) Files.deleteIfExists(p)
-            }
+    // Deletion is driven by the expired MANIFESTS' file lists, not by
+    // snapshot-id-derived directories: a carried-forward file lives in its
+    // WRITER's data/<id>/ dir but may only become unreferenced when a LATER
+    // snapshot that re-referenced it expires — walking only the expired ids'
+    // own dirs would orphan it forever. data/ dirs are also swept for
+    // non-live stragglers (_SUCCESS markers, files from expired-earlier
+    // snapshots whose ids are no longer in the chain).
+    val dead = expired.flatMap(_.files.map(_.path)).toSet -- live
+    dead.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    val dataRoot = Paths.get(root, "data")
+    val keptIds = chain.take(keepLast).map(s => f"${s.snapshotId}%09d").toSet
+    val currentId = currentSnapshotId.getOrElse(0L)
+    if (Files.exists(dataRoot)) {
+      val walk = Files.walk(dataRoot)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator().asScala.filter(_ != dataRoot).foreach { p =>
+          val ownDir = dataRoot.relativize(p).getName(0).toString
+          // a dir with id > current belongs to an UNPUBLISHED in-flight
+          // commit — never sweep it (its files are live-to-be)
+          val published = ownDir.toLongOption.exists(_ <= currentId)
+          if (Files.isRegularFile(p)) {
+            // only sweep inside published dirs owned by NO kept snapshot: a
+            // kept snapshot's dir may hold files a future expiry still needs
+            if (published && !keptIds.contains(ownDir) && !live.contains(p.toString))
+              Files.deleteIfExists(p)
+          } else if (published) {
+            val ls = Files.list(p)
+            val empty = try !ls.iterator().hasNext finally ls.close()
+            if (empty) Files.deleteIfExists(p)
           }
-        finally walk.close()
-      }
+        }
+      finally walk.close()
+    }
+    expired.map { s =>
       Files.deleteIfExists(manifestPath(s.snapshotId))
       s.snapshotId
     }

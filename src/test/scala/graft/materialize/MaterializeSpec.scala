@@ -149,4 +149,31 @@ class MaterializeSpec extends SparkSpec {
       snap3.files.map(_.path).toSet).nonEmpty, "modulus-4 upsert not scoped")
     assert(rows(table.read(spark)) == rows(plain.read(spark)))
   }
+
+  test("expireSnapshots reclaims a shared file even after its writer snapshot expired") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_expire_shared_spec")
+    val table = graft.table.SnapshotTable(s"$root/t")
+    // snap1 writes files F (buckets of keys 1..32); snap2 carries most of F
+    Materialize.upsertLatestBucketed(table,
+      (1L to 32L).map(k => (k, t(k), k * 1.0)).toDF("k", "ts", "v"),
+      Seq("k"), "ts", nBuckets = 8)
+    val f1 = table.currentSnapshot.get.files.map(_.path).toSet
+    Materialize.upsertLatestBucketed(table,
+      Seq((1L, t(50), 1.5)).toDF("k", "ts", "v"), Seq("k"), "ts", nBuckets = 8)
+    val carried = table.currentSnapshot.get.files.map(_.path).toSet.intersect(f1)
+    assert(carried.nonEmpty)
+    // expire snap1: carried files must survive (still referenced by snap2)
+    assert(table.expireSnapshots(keepLast = 1) == Seq(1L))
+    carried.foreach(p => assert(Files.exists(Paths.get(p)), s"live shared file deleted: $p"))
+    // snap3 rewrites EVERYTHING (modulus change) — carried files become
+    // unreferenced, but their writer (snap1) is long gone from the chain
+    Materialize.upsertLatestBucketed(table,
+      Seq((2L, t(60), 2.5)).toDF("k", "ts", "v"), Seq("k"), "ts", nBuckets = 4)
+    assert(table.expireSnapshots(keepLast = 1) == Seq(2L))
+    carried.foreach(p => assert(!Files.exists(Paths.get(p)),
+      s"orphaned shared file leaked (writer snapshot expired earlier): $p"))
+    // current stays fully readable
+    assert(table.read(spark).count() == 32L)
+  }
 }

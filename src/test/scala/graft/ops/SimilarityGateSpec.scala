@@ -94,6 +94,10 @@ class SimilarityGateSpec extends SparkSpec {
     val unguarded = Similarity.semDedupPairs(df, "vec_id", "embedding",
       nCentroids = 8, threshold = 0.2)
     assert(rows(guarded) == rows(unguarded))
+    // empty corpus: max() over zero rows is NULL — guard passes vacuously
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.semDedupPairs(empty, "vec_id", "embedding",
+      nCentroids = 4, threshold = 0.9, maxCellRows = 10L).count() == 0L)
   }
 
   test("pqTopK: kernel ADC ranking equals literal ADC ranking exactly") {
