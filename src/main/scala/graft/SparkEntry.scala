@@ -1130,8 +1130,9 @@ object SparkEntry {
 
   /** S10 streaming materialization sink through the hard gate (the last
     * spec-only streaming wrapper): the bounded events stream runs through
-    * `latestToSink`'s foreachBatch — per-batch latest-per-key appended to
-    * an idempotent parquet sink with a checkpoint — then the sink is
+    * `latestToSink`'s foreachBatch — per-batch latest-per-key written to a
+    * per-batch-overwrite (replay-idempotent) parquet sink with a
+    * checkpoint — then the sink is
     * re-read and re-resolved, the documented read-side contract (the
     * compacting alternative is q77's upsertLatest). The fixture has no
     * (user_id, ts) ties, so per-batch resolution is deterministic; the
@@ -1145,7 +1146,7 @@ object SparkEntry {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    Materialize.latestPerKey(spark.read.parquet(s"$root/sink"),
+    Materialize.latestPerKey(spark.read.parquet(s"$root/sink/batch-*"),
       Seq("user_id"), "ts", ties = Seq("event_id"))
   }
 
@@ -2016,8 +2017,8 @@ object SparkEntry {
         |  round(SUM(value) OVER w, 4) AS rolling_sum,
         |  CAST(COUNT(*) OVER w AS BIGINT) AS rolling_cnt
         |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
-        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q27_date_sink" ->
       """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS date, count(*) AS n_events,
         |  round(sum(value), 4) AS sum_value

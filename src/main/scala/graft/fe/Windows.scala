@@ -70,6 +70,10 @@ object Windows {
 
   /** Rolling (range-frame) aggregate: for each event, aggregate over the
     * trailing `windowSeconds` of its own key's history (inclusive bounds).
+    * The frame is ordered at MICROsecond precision (the fixtures' native
+    * resolution) — ordering by whole seconds would let a same-second future
+    * event leak into a point-in-time feature and stretch the bound by up to
+    * ~1 s ([[sessionize]] makes the same choice).
     */
   def rolling(
       df: DataFrame,
@@ -79,8 +83,8 @@ object Windows {
       valueCol: String): DataFrame = {
     val w = Window
       .partitionBy(key.map(col): _*)
-      .orderBy(unix_timestamp(col(ts)).cast("long"))
-      .rangeBetween(-windowSeconds, 0)
+      .orderBy(unix_micros(col(ts).cast("timestamp")))
+      .rangeBetween(-windowSeconds * 1000000L, 0)
     df.withColumn(s"${valueCol}_rolling_sum", sum(col(valueCol)).over(w))
       .withColumn(s"${valueCol}_rolling_cnt", count(lit(1)).over(w))
   }

@@ -42,7 +42,7 @@ object Tokens {
     * packs still contiguous, no single task ever sorts a whole key group.
     */
   def packGreedy(
-      df: DataFrame,
+      df0: DataFrame,
       keys: Seq[String],
       orderCol: String,
       tokensCol: String,
@@ -54,6 +54,11 @@ object Tokens {
       alignShards: Boolean = false): DataFrame = {
     val twoLevel = subShards > 1 || shardExpr.isDefined
     require(!alignShards || twoLevel, "alignShards requires sub-sharding")
+    // Zero-token documents carry nothing to pack and are dropped up front:
+    // one sitting exactly on a rounded shard boundary would otherwise be
+    // assigned the NEXT shard's first pack id, breaking the "(keys,
+    // pack_id) is unique" output contract in aligned mode.
+    val df = df0.where(col(nTokCol) > 0)
     val shard: Column =
       if (!twoLevel) lit(0)
       else shardExpr.getOrElse(pmod(xxhash64(col(orderCol)), lit(subShards)))
@@ -64,11 +69,12 @@ object Tokens {
     // extra narrow shuffle for keeping the window SORT narrow: measured, it
     // pays only for genuinely wide payloads (multi-KB token rows); for the
     // ~130 B rows of the bench fixture the direct path is ~15% faster,
-    // hence default false.
-    val narrow0 = if (lateFetch)
-      df.select((keys.map(col) :+ col(orderCol) :+ col(nTokCol)): _*)
-    else df
-    val narrow = narrow0.withColumn("__shard", shard)
+    // hence default false. The shard column is computed BEFORE the narrow
+    // projection so a custom shardExpr may reference any input column.
+    val sharded = df.withColumn("__shard", shard)
+    val narrow = if (lateFetch)
+      sharded.select((keys.map(col) :+ col(orderCol) :+ col(nTokCol) :+ col("__shard")): _*)
+    else sharded
 
     val withStart = if (!twoLevel) {
       val w = Window.partitionBy(keys.map(col): _*)
@@ -134,11 +140,13 @@ object Tokens {
     * feed to groupBy().count() for corpus statistics. The slide/explode is
     * bounded by the token count, so row growth is exactly ×(len-n+1).
     */
-  def ngrams(df: DataFrame, tokensCol: String, n: Int): DataFrame =
+  def ngrams(df: DataFrame, tokensCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"ngram size must be >= 1 (got $n)")
     df.where(size(col(tokensCol)) >= n)
       .select(explode(transform(
         sequence(lit(1), size(col(tokensCol)) - (n - 1)),
         i => slice(col(tokensCol), i, lit(n)))).as("gram"))
+  }
 
   /** Deterministic corpus shuffle + length-bucketed batching: every
     * document gets a seed-stable pseudo-random order key

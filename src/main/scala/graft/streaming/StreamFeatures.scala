@@ -203,8 +203,17 @@ object StreamFeatures {
 
   /** Streaming latest-per-key materialization into an idempotent sink:
     * foreachBatch + batch latest-per-key, the streaming analogue of the
-    * reference's online-store upsert (sqlite.py:76-128). Returned writer is
-    * not started — callers pick trigger/checkpoint.
+    * reference's online-store upsert (sqlite.py:76-128). Idempotence is
+    * REAL, not aspirational: each micro-batch overwrites its own
+    * `batch-<batchId>/` subdirectory, so a batch replayed after a
+    * crash-between-write-and-checkpoint rewrites the same files instead of
+    * appending duplicates (a bare `mode("append")` to one directory would
+    * double the replayed rows). Readers use the glob
+    * `spark.read.parquet(s"$sinkPath/batch-*")` (plain nested dirs are not
+    * partition dirs, so a bare root read finds no files) and resolve
+    * latest-per-key across batches (q82's read contract; the compacting
+    * alternative is `Materialize.upsertLatest`). Returned writer is not
+    * started — callers pick trigger/checkpoint.
     */
   def latestToSink(
       stream: DataFrame,
@@ -214,9 +223,9 @@ object StreamFeatures {
       checkpoint: String) =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.materialize.Materialize
           .latestPerKey(batch, keys, ts)
-          .write.mode("append").parquet(sinkPath)
+          .write.mode("overwrite").parquet(s"$sinkPath/batch-$batchId")
       }
 }

@@ -79,15 +79,20 @@ class WindowsSpec extends SparkSpec {
   }
 
   test("rolling range-frame equals trailing-window linear scan (inclusive bounds)") {
-    val evs = events(4L, 200, 4)
+    // sub-second jitter on top of the second grid: the frame must compare
+    // at full precision — second-truncated ordering would leak same-second
+    // FUTURE events into the trailing window and stretch the bound ~1s
+    val rnd = new scala.util.Random(44)
+    val evs = events(4L, 200, 4).map(e =>
+      e.copy(ts = new Timestamp(e.ts.getTime + rnd.nextInt(1000))))
     val win = 900L
     val out = Windows.rolling(evs.toDF(), Seq("key"), "ts", win, "v")
       .select("id", "v_rolling_sum", "v_rolling_cnt").collect()
       .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
     val expected = evs.map { e =>
       val g = evs.filter(o => o.key == e.key &&
-        o.ts.getTime / 1000 >= e.ts.getTime / 1000 - win &&
-        o.ts.getTime / 1000 <= e.ts.getTime / 1000)
+        o.ts.getTime >= e.ts.getTime - win * 1000L &&
+        o.ts.getTime <= e.ts.getTime)
       e.id -> (g.map(_.v).sum, g.size.toLong)
     }.toMap
     for ((id, (s, n)) <- expected) {

@@ -102,6 +102,29 @@ class TokensSpec extends SparkSpec {
     assert(out.values.map(_._2).sum == rows.map(_._4.toLong).sum)
   }
 
+  test("packGreedy: zero-token docs are dropped; (keys, pack_id) stays unique in aligned mode") {
+    import spark.implicits._
+    // shard 0 (doc_id % 2 == 0) totals exactly seqLen=4 and ends with an
+    // empty doc sitting ON the rounded boundary — previously that doc was
+    // assigned the NEXT shard's first pack id, yielding two output rows
+    // with the same (keys, pack_id)
+    val df = Seq(
+      (0L, "g", Seq(1, 2, 3, 4), 4), // shard 0, fills pack 0 exactly
+      (2L, "g", Seq.empty[Int], 0),  // shard 0, zero tokens, on boundary
+      (1L, "g", Seq(5, 6), 2),       // shard 1
+      (3L, "g", Seq(7), 1)           // shard 1
+    ).toDF("doc_id", "key", "tokens", "n_tok")
+    val out = Tokens.packGreedy(df, Seq("key"), "doc_id", "tokens", "n_tok",
+      seqLen = 4, subShards = 2, shardExpr = Some(pmod(col("doc_id"), lit(2))),
+      alignShards = true).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getSeq[Int](4).toList))
+    assert(out.map(_._1).distinct.length == out.length, "duplicate (keys, pack_id)")
+    assert(out.toMap == Map(
+      ("g", 0L) -> (1L, List(1, 2, 3, 4)),
+      ("g", 1L) -> (2L, List(5, 6, 7))))
+    intercept[IllegalArgumentException](Tokens.ngrams(df, "tokens", 0))
+  }
+
   test("ngrams emit exactly len-n+1 grams per doc; counts match a naive scan") {
     val df = docs(11L, n = 40, shards = 2)
     val grams = Tokens.ngrams(df, "tokens", 3)

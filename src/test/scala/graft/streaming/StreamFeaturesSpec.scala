@@ -295,10 +295,24 @@ class StreamFeaturesSpec extends SparkSpec {
       s"$sink/data", s"$ckpt/cp").start()
     q.processAllAvailable()
     q.stop()
-    val got = spark.read.parquet(s"$sink/data")
+    def readSink() = spark.read.parquet(s"$sink/data/batch-*")
+    val got = readSink()
       .groupBy("user_id").agg(max("ts").as("ts"))
       .orderBy("user_id").collect().toSeq
     val want = events.groupBy(_.user_id).view.mapValues(_.map(_.ts.getTime).max).toMap
     assert(got.map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap == want)
+    // replay idempotence: re-running a batch overwrites its own batch dir
+    // instead of appending duplicates — simulate by re-running batch 0's
+    // content through a fresh query against the SAME sink with a FRESH
+    // checkpoint (forcing the batch to execute again as batchId 0)
+    val rowsBefore = readSink().count()
+    val mem2 = MemoryStream[Ev](spark)
+    mem2.addData(events: _*)
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_stream_ckpt2").toString
+    val q2 = StreamFeatures.latestToSink(mem2.toDF(), Seq("user_id"), "ts",
+      s"$sink/data", s"$ckpt2/cp").start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(readSink().count() == rowsBefore, "replayed batch appended instead of overwriting")
   }
 }
