@@ -32,7 +32,8 @@ object Backfill {
     * flushed per interval so a crash loses at most the in-flight interval.
     */
   final class CheckpointLog(path: String) {
-    Files.createDirectories(Paths.get(path).getParent)
+    // toAbsolutePath: a bare relative filename has a null getParent
+    Files.createDirectories(Paths.get(path).toAbsolutePath.getParent)
     def completed: Set[String] =
       if (!Files.exists(Paths.get(path))) Set.empty
       else Files.readAllLines(Paths.get(path)).asScala
@@ -103,7 +104,16 @@ object Backfill {
     grid(start, end, stepSeconds).flatMap { case (lo, hi) =>
       val id = s"${lo.toInstant}_${hi.toInstant}"
       if (done.contains(id)) None
-      else {
+      // Crash healing: commit happened but the process died BEFORE the
+      // checkpoint append — the table's current watermark already carries
+      // this interval id. Re-committing would duplicate the snapshot; heal
+      // by appending the missing log line from the committed snapshot.
+      else if (table.currentSnapshot.exists(_.watermark.contains(id))) {
+        val snap = table.currentSnapshot.get
+        val m = IntervalMetrics(id, snap.totalRows, snap.totalBytes, snap.snapshotId, Nil)
+        log.append(m)
+        Some(m)
+      } else {
         val latest = Materialize.pullLatest(source, keys, ts, createdTs, lo, hi)
           .withColumn("__interval", lit(id))
         val cached = latest.cache()

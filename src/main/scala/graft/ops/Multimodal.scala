@@ -136,11 +136,18 @@ object Multimodal {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       it.map { a =>
-        val feat =
-          if (a.kind == "image") ImageCodec.decodeAndEmbed(a.payload)
-          else StubCodec.decodeAndEmbed(a.payload)
-        AssetFeatures(a.asset_id, a.kind, a.payload.length.toLong,
-          checksum(a.payload), feat)
+        // null payload = corrupt/missing asset: empty features, zero-length
+        // checksum — same contract as an undecodable image
+        if (a.payload == null)
+          AssetFeatures(a.asset_id, a.kind, 0L, checksum(Array.emptyByteArray),
+            Array.empty[Float])
+        else {
+          val feat =
+            if (a.kind == "image") ImageCodec.decodeAndEmbed(a.payload)
+            else StubCodec.decodeAndEmbed(a.payload)
+          AssetFeatures(a.asset_id, a.kind, a.payload.length.toLong,
+            checksum(a.payload), feat)
+        }
       }
     }
   }
@@ -151,7 +158,12 @@ object Multimodal {
   def sampleFrameIndexes(df: DataFrame, nFramesCol: String, stride: Int): DataFrame =
     df.withColumn(
       "sampled_frames",
-      filter(sequence(lit(0), col(nFramesCol) - 1), i => i % stride === 0))
+      // guard n_frames <= 0: sequence(0, -1) runs DESCENDING (step defaults
+      // to -1 when start > stop), which would emit a phantom frame 0 for an
+      // empty video instead of an empty list
+      when(col(nFramesCol) > 0,
+        filter(sequence(lit(0), col(nFramesCol) - 1), i => i % stride === 0))
+        .otherwise(array().cast("array<int>")))
 
   /** Deterministic synthetic asset table for tests (no external data):
     * image rows carry REAL PNG bytes; audio/video carry formula-derived

@@ -181,7 +181,11 @@ object Sampling {
           lit(buckets.toLong)).as("__b"))
       .groupBy(col(idCol), col("__b"))
       .agg(count(lit(1)).as("__c"), max(col("__t")).as("__t"))
-      .cache()
+      // eager localCheckpoint, not cache(): the frame feeds both the model
+      // and the scoring, and its blocks are released when the frame is GC'd
+      // instead of pinning storage for the session (TextStats.lmPerplexity
+      // documents the same trade)
+      .localCheckpoint()
     val models = perDoc.groupBy(col("__b")).agg(
       sum(when(col("__t"), col("__c")).otherwise(lit(0L))).as("__tc"),
       sum(col("__c")).as("__rc"))

@@ -41,7 +41,9 @@ object TextStats {
   /** Fraction of whitespace words that are (lowercased) English stopwords. */
   def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
     val words = split(lower(trim(text)), "\\s+")
-    when(size(words) === 0, lit(0.0)).otherwise(
+    // guard on the TEXT, not size(words): split("") yields [""] (size 1),
+    // so a size===0 test never fires for empty/whitespace-only input
+    when(length(trim(text)) === 0, lit(0.0)).otherwise(
       round(
         size(filter(words, w => w.isin(stopwords: _*)))
           .cast("double") / size(words), 6))
@@ -50,7 +52,7 @@ object TextStats {
   /** Mean word length — a cheap quality signal (gibberish skews high/low). */
   def meanWordLen(text: Column): Column = {
     val words = split(trim(text), "\\s+")
-    when(size(words) === 0, lit(0.0)).otherwise(
+    when(length(trim(text)) === 0, lit(0.0)).otherwise(
       round(
         aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(words), 6))
   }
@@ -78,7 +80,7 @@ object TextStats {
   def langScores(text: Column): Seq[(String, Column)] = {
     val words = split(lower(trim(text)), "\\s+")
     LangStopwords.map { case (lang, sws) =>
-      lang -> when(size(words) === 0, lit(0.0)).otherwise(
+      lang -> when(length(trim(text)) === 0, lit(0.0)).otherwise(
         size(filter(words, w => w.isin(sws: _*)))
           .cast("double") / size(words))
     }
@@ -98,7 +100,10 @@ object TextStats {
     * array_distinct); docs shorter than n grams score 0.
     */
   def repetitionRatio(text: Column, n: Int): Column = {
-    val words = split(text, "\\s+")
+    // drop empty tokens (leading/trailing/runs of whitespace) — the same
+    // tokenization as Dedup.wordShingles, so two documents differing only
+    // in surrounding whitespace get the same repetition score
+    val words = filter(split(text, "\\s+"), w => length(w) > 0)
     // all n-gram fingerprints in one O(text) native prefix scan — the
     // transform/xxhash64 formulation re-evaluated the split per gram
     // element (interpreted HOF, no loop-invariant hoisting)
@@ -112,7 +117,10 @@ object TextStats {
     */
   def uniqueWordRatio(text: Column): Column = {
     val words = split(trim(text), "\\s+")
-    when(size(words) === 0, lit(0.0)).otherwise(
+    // empty/whitespace-only text is 0.0 "unique", not 1.0: split("") yields
+    // [""] (size 1), so the old size===0 guard was dead and an empty doc
+    // scored maximally unique, sailing through gopherRules' unique_ok
+    when(length(trim(text)) === 0, lit(0.0)).otherwise(
       round(size(array_distinct(words)).cast("double") / size(words), 6))
   }
 
@@ -147,21 +155,34 @@ object TextStats {
     * keyword extractor. Fully declarative: words explode to (doc, term)
     * rows, tf and df are map-side-combinable aggregations, N is a 1-row
     * aggregate broadcast-crossed onto the term frame (no driver collect),
-    * and idf = ln(N / df) joins back onto term occurrences BY TERM — the
-    * df table is tiny relative to the corpus (vocabulary-sized) and
-    * broadcastable; ranking is one window per doc. Scores round to 6
-    * decimals BEFORE ranking so ordering is reproducible cross-engine
-    * (ln differs by ulps between libms).
+    * and idf = ln(N / df) joins back onto term occurrences BY TERM;
+    * ranking is one window per doc. Scores round to 6 decimals BEFORE
+    * ranking so ordering is reproducible cross-engine (ln differs by ulps
+    * between libms).
+    *
+    * `broadcastDf` gates the df-table join: the vocabulary of curated text
+    * is usually broadcast-sized, but raw web text is hapax-heavy (typos,
+    * URLs, ids — vocabulary grows ~linearly with the corpus), and a forced
+    * broadcast of a billion-term table is a driver OOM. Set false at that
+    * scale: tf and docFreq share the `term` hash partitioning, so the
+    * fallback shuffle join re-uses tf's exchange — same calculus as
+    * lmPerplexity's buckets-size gate.
     */
-  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+  def tfIdfTopTerms(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      broadcastDf: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val terms = df.select(col(idCol),
         explode(filter(split(lower(trim(col(textCol))), "\\s+"), w => length(w) > 0)).as("term"))
     val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val docFreq0 = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val docFreq = if (broadcastDf) broadcast(docFreq0) else docFreq0
     val n = df.select(count(lit(1)).as("__n"))
     val scored = tf
-      .join(broadcast(docFreq), Seq("term"))
+      .join(docFreq, Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
         round(col("tf") * log(col("__n").cast("double") / col("df")), 6))

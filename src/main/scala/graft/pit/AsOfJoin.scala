@@ -76,11 +76,16 @@ object AsOfJoin {
     val entityCols = entity.columns.toSeq
     val featCols = spec.features
 
-    // Right side: keys + ts + created + packed feature struct.
+    // Right side: keys + ts + created + packed feature struct. Null join
+    // keys never match (SQL semantics, and rangeJoin's === agrees) — but
+    // Window.partitionBy groups nulls, so null-keyed feature rows must be
+    // dropped here or a null-keyed entity row would pick them up.
     val createdCol = spec.createdTs.map(col).getOrElse(lit(null).cast("timestamp"))
     val featStruct = struct(
       (col(spec.rightTs).as("__ts") +: featCols.map(col)): _*)
-    val rightBase = feature.select(
+    val rightBase = feature
+      .where(spec.keys.map(col(_).isNotNull).reduce(_ && _))
+      .select(
       spec.keys.map(col) ++ Seq(
         col(spec.rightTs).as(TS),
         createdCol.as("__graft_created"),
@@ -122,10 +127,25 @@ object AsOfJoin {
     val unioned = l.unionByName(r)
 
     // Order: ts asc, tag asc (features first at equal ts => inclusive <=),
-    // created asc (so `last` picks max created among equal ts).
+    // created asc (so `last` picks max created among equal ts). The packed
+    // feature struct is the FINAL tie-breaker whenever its type is
+    // orderable: without it, rows fully tied on (ts, created) would leave
+    // the pick to shuffle arrival order, while rangeJoin's max(struct(...))
+    // resolves the same tie deterministically — the two strategies must
+    // agree bit-for-bit. (Map-typed features are not orderable; the facade
+    // routes those through the wide path where the row id disambiguates.)
+    def orderable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case a: org.apache.spark.sql.types.ArrayType => orderable(a.elementType)
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => orderable(f.dataType))
+      case _ => true
+    }
+    val featTie: Seq[Column] =
+      if (orderable(rightBase.schema(FEAT).dataType)) Seq(col(FEAT).asc_nulls_first)
+      else Nil
     val w = Window
       .partitionBy(partCols.map(col): _*)
-      .orderBy(col(TS).asc, col(TAG).asc, col("__graft_created").asc)
+      .orderBy((Seq(col(TS).asc, col(TAG).asc, col("__graft_created").asc) ++ featTie): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val picked = unioned

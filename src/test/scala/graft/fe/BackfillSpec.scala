@@ -75,6 +75,32 @@ class BackfillSpec extends SparkSpec {
     assert(table.history.size == 4)
   }
 
+  test("crash between commit and checkpoint append heals without a duplicate snapshot") {
+    val root = freshDir("snap3")
+    val ckpt = s"${freshDir("ckpt3")}/log.jsonl"
+    val src = TokenSeq.generate(spark, n = 3000, entities = 10)
+    val table = SnapshotTable(root)
+
+    // simulate the torn state: interval 1 committed to the table (its id is
+    // the current watermark) but the process died BEFORE log.append
+    val id = s"${t(0).toInstant}_${t(3600).toInstant}"
+    table.commit(
+      graft.materialize.Materialize.pullLatest(
+        src, Seq("doc_id"), "event_timestamp", Some("created_timestamp"), t(0), t(3600)),
+      watermark = Some(id))
+    assert(table.history.size == 1)
+
+    // the resume must NOT re-commit interval 1 — it heals the log from the
+    // committed snapshot and only executes interval 2
+    val resumed = Backfill.run(spark, src, Seq("doc_id"), "event_timestamp",
+      Some("created_timestamp"), t(0), t(2 * 3600), 3600, table, ckpt)
+    assert(resumed.map(_.intervalId) == Seq(id, s"${t(3600).toInstant}_${t(2 * 3600).toInstant}"))
+    assert(table.history.size == 2, "torn interval was re-committed as a duplicate snapshot")
+    // and the healed log makes the next run fully idempotent
+    assert(Backfill.run(spark, src, Seq("doc_id"), "event_timestamp",
+      Some("created_timestamp"), t(0), t(2 * 3600), 3600, table, ckpt).isEmpty)
+  }
+
   test("snapshot table: time travel reads exactly the as-of snapshot's rows") {
     val root = freshDir("snap3")
     val table = SnapshotTable(root)

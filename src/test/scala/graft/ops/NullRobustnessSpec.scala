@@ -43,6 +43,37 @@ class NullRobustnessSpec extends SparkSpec {
       .count() >= 0) // null token arrays filtered, no NPE
   }
 
+  test("empty/whitespace-only text scores 0, never 1.0-unique or phantom-repetitive") {
+    // split("") yields [""] (size 1) — a size===0 guard is dead, so an
+    // empty doc used to score uniqueWordRatio = 1.0 and pass unique_ok
+    val scored = corpus.select(col("doc_id"),
+      TextStats.uniqueWordRatio(col("text")).as("u"),
+      TextStats.meanWordLen(col("text")).as("m"),
+      TextStats.stopwordRatio(col("text")).as("s"),
+      TextStats.repetitionRatio(col("text"), 2).as("r"))
+      .collect().map(r => r.getLong(0) -> (r.get(1), r.get(2), r.get(3), r.get(4))).toMap
+    assert(scored(3L) == ((0.0, 0.0, 0.0, 0.0)))
+    assert(scored(4L) == ((0.0, 0.0, 0.0, 0.0)))
+    // repetition is whitespace-insensitive: same text padded scores the same
+    val pair = Seq((1L, "x y x y"), (2L, "  x y x y  "))
+      .toDF("doc_id", "text")
+      .select(TextStats.repetitionRatio(col("text"), 2).as("r"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(pair.head == pair(1))
+  }
+
+  test("multimodal: zero-frame videos sample no frames; null payloads score empty") {
+    val frames = Multimodal.sampleFrameIndexes(
+      Seq((1L, 9), (2L, 0)).toDF("vid", "n_frames"), "n_frames", stride = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](2).toList).toMap
+    assert(frames(1L) == List(0, 4, 8))
+    assert(frames(2L) == Nil) // sequence(0,-1) would have emitted [0]
+    val feats = Multimodal.extractFeatures(
+      Seq(Multimodal.Asset(7L, "audio", null, 0, 0, 16000, 0)).toDS())
+      .collect().head
+    assert(feats.n_bytes == 0L && feats.feature.isEmpty)
+  }
+
   test("document stats / lang-id / gopher: nulls score as empty, no crash") {
     val stats = TextStats.documentStats(corpus, "doc_id", "text")
     assert(stats.count() == 5) // stats are total: every row scored

@@ -238,6 +238,28 @@ class AsOfJoinSpec extends SparkSpec {
     assert(runRange(ents, feats, Some(3600L)) == Map(1L -> Some(2.0)))
   }
 
+  test("null join keys never match: windowed agrees with rangeJoin's === semantics") {
+    // Window.partitionBy groups NULLs, so without the null-key feature
+    // filter the null-keyed entity would pick up the null-keyed feature
+    val ents = Seq(Ent(1, null, t(100)), Ent(2, "a", t(100)))
+    val feats = Seq(Feat(null, t(90), t(90), 7.0), Feat("a", t(90), t(90), 1.0))
+    val want = Map(1L -> None, 2L -> Some(1.0))
+    assert(runWindowed(ents, feats, Some(3600L)) == want)
+    assert(runRange(ents, feats, Some(3600L)) == want)
+  }
+
+  test("full (key, ts, created) ties resolve deterministically to max(features), both strategies") {
+    // without a final feature tie-breaker in the window sort, the pick
+    // would follow shuffle arrival order and could differ run to run
+    val ents = Seq(Ent(1, "a", t(100)))
+    val feats = Seq(
+      Feat("a", t(90), t(90), 1.0),
+      Feat("a", t(90), t(90), 9.0),
+      Feat("a", t(90), t(90), 4.0))
+    assert(runWindowed(ents, feats, Some(3600L)) == Map(1L -> Some(9.0)))
+    assert(runRange(ents, feats, Some(3600L)) == Map(1L -> Some(9.0)))
+  }
+
   test("latest event_ts beats larger created_ts of an older event") {
     val ents = Seq(Ent(1, "a", t(100)))
     val feats = Seq(
