@@ -144,7 +144,13 @@ object Dedup {
       sh: DataFrame, // (idCol, shingle: long)
       idCol: String,
       threshold: Double): DataFrame = {
-    val docsets = sh.groupBy(col(idCol))
+    // only documents that appear in a candidate pair need a docset: the
+    // semi-join bounds the collect_list aggregate by the candidate set
+    // (<< corpus on real data) instead of rolling up every document
+    val candIds = cand.select(col("id1").as(idCol))
+      .unionByName(cand.select(col("id2").as(idCol))).distinct()
+    val docsets = sh.join(candIds, Seq(idCol), "left_semi")
+      .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("shingle"))).as("__set"))
     cand
       .join(docsets.select(col(idCol).as("id1"), col("__set").as("__s1")), Seq("id1"))
@@ -179,7 +185,10 @@ object Dedup {
       n: Int,
       threshold: Double,
       maxDf: Option[Long] = None): DataFrame = {
-    val sh = wordShingles(df, idCol, textCol, n).cache()
+    // localCheckpoint (eager), not cache(): the shingle index feeds both
+    // candidate generation and verification, and its blocks are released
+    // when the frame is GC'd instead of pinning storage for the session
+    val sh = wordShingles(df, idCol, textCol, n).localCheckpoint()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
     // document frequency is bounded by the doc count, so when the corpus is
     // smaller than the cap the probe is decided by a metadata-cheap count()
@@ -229,7 +238,10 @@ object Dedup {
       threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     import org.apache.spark.sql.expressions.Window
-    val sh = wordShingles(df, idCol, textCol, n).cache()
+    // localCheckpoint (eager), not cache(): the shingle index feeds both
+    // candidate generation and verification, and its blocks are released
+    // when the frame is GC'd instead of pinning storage for the session
+    val sh = wordShingles(df, idCol, textCol, n).localCheckpoint()
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
     // rank shingles per doc by (df asc, hash asc) — the canonical global
     // order that minimizes candidates — and take the doc's set size from
@@ -355,7 +367,8 @@ object Dedup {
       threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
-    val sh = wordShingles(df, idCol, textCol, shingleN).cache()
+    // localCheckpoint, not cache() — see ngramJaccard's note
+    val sh = wordShingles(df, idCol, textCol, shingleN).localCheckpoint()
     val sig = minhashSignatures(sh, idCol, numHashes)
     // band signature = order-sensitive mix61 fold of its r minhash values
     // (h := mix61(h + v, 17)) — portable, mirrored in the DuckDB oracle
@@ -686,7 +699,12 @@ object Dedup {
       .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
       .select(col(idCol), col("pos"), col("col").as("__line"),
         graft.functions.RollingHash.rolling_hash(col("col")).as("__h"))
-    val w = Window.partitionBy(col("__h")).orderBy(col(idCol).asc, col("pos").asc)
+    // identity = (hash, full line): the hash alone is 61-bit and WOULD
+    // collide near ~2^31 distinct lines, silently deleting an innocent
+    // line; the line text already rides this exchange row, so widening the
+    // partition key costs nothing extra
+    val w = Window.partitionBy(col("__h"), col("__line"))
+      .orderBy(col(idCol).asc, col("pos").asc)
     val kept = lines
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)

@@ -101,6 +101,33 @@ object Similarity {
         .when(l.getField("cid") > r.getField("cid"), 1)
         .otherwise(0))
 
+  /** Shared quantizer-centroid derivation for [[ivfTopK]] and
+    * [[semDedupPairs]] — ONE definition so the two consumers can never
+    * drift: Lloyd-trained centroids indexed 0..k-1 when `trainIters > 0`,
+    * else the k lowest-id vectors as deterministic seeds. Returns the
+    * centroids plus the cell-id type; an empty corpus yields Nil for
+    * callers that short-circuit (trainCentroids itself rejects it).
+    */
+  private def quantizerCentroids(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      trainIters: Int,
+      maxLiteralCentroids: Int): (Seq[(Any, Seq[Float])], org.apache.spark.sql.types.DataType) = {
+    val cents: Seq[(Any, Seq[Float])] =
+      if (trainIters > 0)
+        trainCentroids(df, idCol, vecCol, k, trainIters, maxLiteralCentroids)
+          .zipWithIndex.map { case (v, i) => (i: Any, v.toSeq) }
+      else df.select(col(idCol), col(vecCol))
+        .orderBy(col(idCol)).limit(k).collect()
+        .map(r => (r.get(0), r.getSeq[Float](1))).toSeq
+    val cidType =
+      if (trainIters > 0) org.apache.spark.sql.types.IntegerType
+      else df.select(col(idCol)).schema.head.dataType
+    (cents, cidType)
+  }
+
   /** Nearest-cell assignment, gated like ivfTopK: (idCol, __cid). */
   private def cellIds(
       df: DataFrame,
@@ -119,6 +146,11 @@ object Similarity {
   /** Exact top-k cosine neighbors for each query vector.
     * `broadcastQueries = false` for query sets too large to broadcast: the
     * scoring becomes a shuffle join (still the exact O(|Q|·corpus) scan).
+    * `excludeSelf` (default true) drops corpus rows whose id EQUALS the
+    * query id — correct only when queries are drawn FROM the corpus; set
+    * false when queries and corpus are separate tables that merely share
+    * an id space, or a valid neighbor is silently lost. (The same flag
+    * exists on lshTopK/ivfTopK/pqTopK.)
     */
   def bruteForceTopK(
       corpus: DataFrame,
@@ -126,11 +158,13 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      broadcastQueries: Boolean = true): DataFrame = {
+      broadcastQueries: Boolean = true,
+      excludeSelf: Boolean = true): DataFrame = {
     val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     val q = if (broadcastQueries) broadcast(q0) else q0
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-    val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
+    val scored = c.join(q,
+        if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .withColumn("cos", cosine(col("__qv"), col("__cv")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
     scored
@@ -159,7 +193,8 @@ object Similarity {
       vecCol: String,
       k: Int,
       numBits: Int,
-      broadcastQueries: Boolean = true): DataFrame = {
+      broadcastQueries: Boolean = true,
+      excludeSelf: Boolean = true): DataFrame = {
     val c = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       signSignature(col(vecCol), numBits).as("__sig"))
@@ -169,7 +204,7 @@ object Similarity {
     // large query sets: shuffle equi-join on the signature instead
     val q = if (broadcastQueries) broadcast(q0) else q0
     val scored = c.join(q, Seq("__sig"))
-      .where(col("neighbor_id") =!= col("query_id"))
+      .where(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .withColumn("cos", cosine(col("__qv"), col("__cv")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
     scored
@@ -197,6 +232,7 @@ object Similarity {
     var cents: Seq[Array[Float]] = corpus.select(col(idCol), col(vecCol))
       .orderBy(col(idCol)).limit(k).collect()
       .map(_.getSeq[Float](1).toArray).toSeq
+    require(cents.nonEmpty, "trainCentroids: corpus is empty — no vectors to seed centroids from")
     for (_ <- 0 until iters) {
       // struct-free argmax (ties → smallest cid): first index whose cosine
       // equals the greatest. array_position evaluates each cosine once;
@@ -258,19 +294,28 @@ object Similarity {
       nCentroids: Int,
       nProbe: Int,
       trainIters: Int = 0,
-      maxLiteralCentroids: Int = defaultMaxLiteralCentroids): DataFrame = {
+      maxLiteralCentroids: Int = defaultMaxLiteralCentroids,
+      excludeSelf: Boolean = true): DataFrame = {
     // planning-time collect of nCentroids rows — same class of driver-side
     // scalar as Skew.detectHotKeys / Materialize.timestampBounds. With
     // trainIters > 0 the quantizer is Lloyd-refined ([[trainCentroids]]);
     // either way centroids are deterministic.
-    val cents: Seq[(Any, Seq[Float])] =
-      if (trainIters > 0)
-        trainCentroids(corpus, idCol, vecCol, nCentroids, trainIters,
-            maxLiteralCentroids)
-          .zipWithIndex.map { case (v, i) => (i: Any, v.toSeq) }
-      else corpus.select(col(idCol), col(vecCol))
-        .orderBy(col(idCol)).limit(nCentroids).collect()
-        .map(r => (r.get(0), r.getSeq[Float](1))).toSeq
+    val (cents, cidType0) =
+      quantizerCentroids(corpus, idCol, vecCol, nCentroids, trainIters, maxLiteralCentroids)
+    // empty corpus -> no centroids -> no neighbors: empty result, typed
+    if (cents.isEmpty) {
+      val qType = queries.select(col(idCol)).schema.head.dataType
+      val cType = corpus.select(col(idCol)).schema.head.dataType
+      return corpus.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("query_id", qType),
+          org.apache.spark.sql.types.StructField("neighbor_id", cType),
+          org.apache.spark.sql.types.StructField("cos",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("rank",
+            org.apache.spark.sql.types.IntegerType, nullable = false))))
+    }
 
     val (corpusCells, queryCells) =
       if (cents.size <= maxLiteralCentroids) (
@@ -285,9 +330,7 @@ object Similarity {
       else {
         // past the literal gate: broadcast-kernel assignment (see
         // defaultMaxLiteralCentroids) — same outputs, same single-scan shape
-        val cidType =
-          if (trainIters > 0) org.apache.spark.sql.types.IntegerType
-          else corpus.select(col(idCol)).schema.head.dataType
+        val cidType = cidType0
         (rankedCellsScan(corpus, idCol, "neighbor_id", vecCol, cents, 1, cidType)
            .select(col("neighbor_id"), col("__vec").as("__cv"),
              element_at(col("__cells"), 1).as("__cid")),
@@ -297,7 +340,7 @@ object Similarity {
       }
 
     val scored = corpusCells.join(queryCells, Seq("__cid"))
-      .where(col("neighbor_id") =!= col("query_id"))
+      .where(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .withColumn("cos", cosine(col("__qv"), col("__cv")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
     scored
@@ -341,8 +384,12 @@ object Similarity {
         math.max(numBits,
           math.ceil(math.log(n.toDouble / targetBucketSize) / math.log(2.0)).toInt)
       } else numBits
-    require(bands >= 1 && bitsPerBand >= 1 && bands * bitsPerBand <= 63,
-      s"bands * bitsPerBand must fit a long signature, got $bands x $bitsPerBand")
+    // each band's signature is its OWN long column (firstBit only offsets
+    // the hyperplane seeds), so the bound is per band, never bands × bits —
+    // a bands×bits product cap would reject exactly the wide-band configs
+    // the targetBucketSize knob derives for large corpora
+    require(bands >= 1 && bitsPerBand >= 1 && bitsPerBand <= 60,
+      s"bitsPerBand must be in [1, 60] (got $bitsPerBand, bands = $bands)")
     // candidate generation is NARROW (id, band, sig — 20 bytes/row through
     // the bucket shuffle); vectors are fetched only for the distinct
     // surviving pairs, so the wide embedding column never rides the
@@ -402,16 +449,8 @@ object Similarity {
       trainIters: Int = 0,
       maxLiteralCentroids: Int = defaultMaxLiteralCentroids,
       maxCellRows: Long = 0L): DataFrame = {
-    val cents: Seq[(Any, Seq[Float])] =
-      if (trainIters > 0)
-        trainCentroids(df, idCol, vecCol, nCentroids, trainIters, maxLiteralCentroids)
-          .zipWithIndex.map { case (v, i) => (i: Any, v.toSeq) }
-      else df.select(col(idCol), col(vecCol))
-        .orderBy(col(idCol)).limit(nCentroids).collect()
-        .map(r => (r.get(0), r.getSeq[Float](1))).toSeq
-    val cidType =
-      if (trainIters > 0) org.apache.spark.sql.types.IntegerType
-      else df.select(col(idCol)).schema.head.dataType
+    val (cents, cidType) =
+      quantizerCentroids(df, idCol, vecCol, nCentroids, trainIters, maxLiteralCentroids)
     // empty corpus -> no centroids -> no cells: return the empty pairs
     // frame directly (rankedCellsExpr cannot type a zero-centroid array)
     if (cents.isEmpty) {
@@ -488,6 +527,7 @@ object Similarity {
     val seeds = corpus.select(col(idCol), col(vecCol))
       .orderBy(col(idCol)).limit(k).collect()
       .map(_.getSeq[Float](1).toIndexedSeq)
+    require(seeds.nonEmpty, "pqCodebooks: corpus is empty — no vectors to seed codebooks from")
     val d = seeds.head.length
     require(d % m == 0, s"dim $d not divisible into $m subspaces")
     val sub = d / m
@@ -585,14 +625,16 @@ object Similarity {
       k: Int,
       codebooks: Seq[Seq[Seq[Float]]],
       broadcastQueries: Boolean = true,
-      maxLiteralCentroids: Int = defaultMaxLiteralCentroids): DataFrame = {
+      maxLiteralCentroids: Int = defaultMaxLiteralCentroids,
+      excludeSelf: Boolean = true): DataFrame = {
     val m = codebooks.size
     val sub = codebooks.head.head.size
     val c = pqEncode(corpus, idCol, vecCol, codebooks, maxLiteralCentroids)
       .select(col(idCol).as("neighbor_id"), col("codes"))
     val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     val q = if (broadcastQueries) broadcast(q0) else q0
-    val joined = c.join(q, col("neighbor_id") =!= col("query_id"))
+    val joined = c.join(q,
+      if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
     val scored =
       if (codebooks.head.size <= maxLiteralCentroids) {
         val dist = (0 until m).map { s =>

@@ -335,6 +335,29 @@ class OpsSpec extends SparkSpec {
       numBits = 4, threshold = 0.999)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     for (q <- 0L until 8L) assert(plain.contains((q, q + 100L)))
+    // wide-band config: each band is its OWN long column, so bands × bits
+    // may exceed 63 (the targetBucketSize knob derives exactly such configs
+    // on large corpora — a product cap used to reject them at plan time)
+    val wide = Similarity.cosineNearDup(df, "vec_id", "embedding",
+      numBits = 20, threshold = 0.999, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    for (q <- 0L until 8L) assert(wide.contains((q, q + 100L)))
+  }
+
+  test("topK excludeSelf=false: a same-id corpus row is a legal neighbor (separate tables)") {
+    // queries and corpus are DIFFERENT tables sharing an id space: query 0's
+    // vector equals corpus row 0's — with excludeSelf=false it must surface
+    // as the rank-1 neighbor instead of being silently dropped
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = vecs.take(3).toDF("vec_id", "embedding")
+    val withSelf = Similarity.bruteForceTopK(
+      corpus, queries, "vec_id", "embedding", k = 1, excludeSelf = false)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    for (q <- 0L until 3L) assert(withSelf(q) == ((q, 1.0)), s"query $q self-neighbor")
+    val without = Similarity.bruteForceTopK(
+      corpus, queries, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (q <- 0L until 3L) assert(without(q) != q)
   }
 
   test("ivfTopK: full probe equals brute force; single probe finds the identical vector") {
