@@ -114,7 +114,7 @@ object Main {
     // Interop: write the applied registry in the reference's protobuf wire
     // layout (Registry.proto) so a reference deployment can read it.
     case "export-registry" :: registryPath :: outPath :: rest if rest.size <= 1 =>
-      graft.model.RegistryProto.export(
+      graft.model.RegistryProto.exportTo(
         new Registry(spark, registryPath), outPath,
         project = rest.headOption.getOrElse("default"),
         lastUpdated = Instant.now())

@@ -31,19 +31,40 @@ object ValueType {
     */
   final case class MapOf(key: ValueType, value: ValueType)
     extends ValueType(MapType(key.sparkType, value.sparkType))
-  /** Proto-enum-style name ("INT32", "FLOAT_LIST", ... — Value.proto:26-46). */
+  /** Proto-enum-style name ("INT32", "FLOAT_LIST", ... — Value.proto:26-46).
+    * The MapOf engine extension uses bracket syntax "MAP<K,V>" — the earlier
+    * underscore form was AMBIGUOUS ("MAP_STRING_FLOAT_LIST" parsed as
+    * list-of-map, and multi-token scalar names like UNIX_TIMESTAMP could not
+    * be split back at all), which silently corrupted or bricked registry
+    * load for map-typed features.
+    */
   def name(vt: ValueType): String = vt match {
     case ListOf(e) => s"${name(e)}_LIST"
-    case MapOf(k, v) => s"MAP_${name(k)}_${name(v)}"
+    case MapOf(k, v) => s"MAP<${name(k)},${name(v)}>"
     case other => other.toString
   }
 
   def fromName(s: String): ValueType =
-    if (s.endsWith("_LIST")) ListOf(fromName(s.stripSuffix("_LIST")))
-    else if (s.startsWith("MAP_")) {
-      val parts = s.stripPrefix("MAP_").split("_", 2)
-      MapOf(fromName(parts(0)), fromName(parts(1)))
-    } else s match {
+    if (s.startsWith("MAP<") && s.endsWith(">")) {
+      val inner = s.substring(4, s.length - 1)
+      // split at the single depth-0 comma (values may nest MAP<...>)
+      var depth = 0
+      var cut = -1
+      var i = 0
+      while (i < inner.length && cut < 0) {
+        inner.charAt(i) match {
+          case '<' => depth += 1
+          case '>' => depth -= 1
+          case ',' if depth == 0 => cut = i
+          case _ =>
+        }
+        i += 1
+      }
+      require(cut > 0, s"malformed map type name '$s'")
+      MapOf(fromName(inner.substring(0, cut)), fromName(inner.substring(cut + 1)))
+    }
+    else if (s.endsWith("_LIST")) ListOf(fromName(s.stripSuffix("_LIST")))
+    else s match {
       case "BYTES" => BYTES
       case "STRING" => STRING
       case "INT32" => INT32
@@ -192,11 +213,18 @@ object Inference {
     * error (inference.py:62-118 raises the same way).
     */
   def eventTimestampColumn(schema: StructType): String = {
-    // name takes priority regardless of type (reference behavior) — a STRING
-    // event_timestamp is legal input, normalized by Timestamps.normalizeUtc
-    schema.fields.find(f => f.name == "event_timestamp" &&
-        (isTimestamp(f.dataType) || f.dataType == StringType))
-      .map(_.name)
+    // name takes priority (reference behavior) — a STRING event_timestamp
+    // is legal input, normalized by Timestamps.normalizeUtc. A column NAMED
+    // event_timestamp with an unusable type is an ERROR, never a silent
+    // redirect to some other timestamp column (that would key the as-of
+    // join on the wrong column with no warning).
+    schema.fields.find(_.name == "event_timestamp")
+      .map { f =>
+        require(isTimestamp(f.dataType) || f.dataType == StringType,
+          s"column 'event_timestamp' has type ${f.dataType.simpleString}; " +
+            "expected timestamp or a parseable string")
+        f.name
+      }
       .getOrElse {
         schema.fields.filter(f => isTimestamp(f.dataType)) match {
           case Array(one) => one.name
@@ -209,7 +237,10 @@ object Inference {
   }
 
   /** Features inferred from the source schema: every column except entity
-    * join keys, timestamp columns, and `__`-prefixed internals
+    * join keys, timestamp columns, `__`-prefixed internals, and columns
+    * whose Spark type has no ValueType mapping — a date partition column
+    * (DateType) or a decimal metric must not make the whole view
+    * un-applyable when the user only wants the mappable columns
     * (feature_view.py:262-294).
     */
   def features(schema: StructType, entityKeys: Set[String]): Seq[Feature] =
@@ -217,7 +248,9 @@ object Inference {
       .filterNot(f => entityKeys.contains(f.name))
       .filterNot(f => isTimestamp(f.dataType))
       .filterNot(_.name.startsWith("__"))
-      .map(f => Feature(f.name, ValueType.fromSpark(f.dataType)))
+      .flatMap(f =>
+        scala.util.Try(ValueType.fromSpark(f.dataType)).toOption
+          .map(Feature(f.name, _)))
 
   /** Entity value type from its join-key column (inference.py:12-59). */
   def entityType(schema: StructType, joinKey: String): ValueType =

@@ -79,7 +79,7 @@ final class Registry(spark: SparkSession, path: String) {
       val schema = FieldMapping(
         spark.read.parquet(v.source.path), v.source.fieldMapping).schema
       val excluded = v.joinKeys.toSet + v.source.eventTimestampColumn ++
-        v.source.createdTimestampColumn
+        v.source.createdTimestampColumn ++ v.source.datePartitionColumn
       val feats = Inference.features(schema, excluded)
       require(feats.nonEmpty,
         s"view '${v.name}': no features declared and none inferable from the source schema")

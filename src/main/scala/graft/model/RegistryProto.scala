@@ -84,7 +84,11 @@ object RegistryProto {
     case ValueType.FLOAT => 6
     case ValueType.BOOL => 7
     case ValueType.UNIX_TIMESTAMP => 8
-    case ValueType.ListOf(e) => valueTypeEnum(e) + 10
+    case ValueType.ListOf(e) =>
+      // a list of an extension type has no reference arm either — INVALID,
+      // never an undefined number like 0 + 10
+      val el = valueTypeEnum(e)
+      if (el == 0) 0 else el + 10
     case _: ValueType.MapOf => 0 // engine extension: no reference arm
   }
 
@@ -143,7 +147,15 @@ object RegistryProto {
       intervals: Map[String, Seq[(java.time.Instant, java.time.Instant)]] = Map.empty,
       versionId: Option[String] = None): Array[Byte] = {
     val sorted = views.sortBy(_.name)
-    val entities = sorted.flatMap(_.entities).distinctBy(_.name).sortBy(_.name)
+    // conflicting redefinitions must FAIL, not silently export whichever
+    // view sorts first: the reference registry has one Entity per name
+    val entities = sorted.flatMap(_.entities).distinct.sortBy(_.name)
+    entities.groupBy(_.name).foreach { case (n, defs) =>
+      require(defs.size == 1,
+        s"entity '$n' is declared with conflicting definitions across views: " +
+          defs.map(e => s"(${ValueType.name(e.valueType)}, join_key=${e.key})")
+            .mkString(", "))
+    }
     val viewBytes = {
       val w = new W()
       sorted.foreach(v =>
@@ -168,7 +180,7 @@ object RegistryProto {
     * materialization intervals from its checkpoint log) to `outPath` in the
     * reference's registry wire format.
     */
-  def export(
+  def exportTo(
       registry: Registry,
       outPath: String,
       project: String = "default",

@@ -186,6 +186,13 @@ object ProtoDecode {
     */
   def decode(raw: DataFrame, fields: Seq[ProtoField]): DataFrame = {
     require(fields.nonEmpty, "proto decode needs a declared field descriptor")
+    // a duplicated tag number would silently win the .toMap index for one
+    // field and freeze the other at its default — fail fast instead
+    require(fields.map(_.number).distinct.size == fields.size,
+      s"duplicate proto field numbers in descriptor: " +
+        fields.groupBy(_.number).filter(_._2.size > 1).keys.toSeq.sorted.mkString(", "))
+    require(fields.map(_.name).distinct.size == fields.size,
+      "duplicate output column names in proto field descriptor")
     val outSchema = new StructType().add("__graft_p", structType(fields))
     val enc = Encoders.row(outSchema)
     raw.select(col("value").cast("binary"))

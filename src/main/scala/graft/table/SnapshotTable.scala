@@ -49,6 +49,7 @@ final case class Snapshot(
 
 object SnapshotTable {
   def apply(root: String): SnapshotTable = new SnapshotTable(root)
+  private lazy val hadoopConf = new org.apache.hadoop.conf.Configuration()
 }
 
 final class SnapshotTable(val root: String) {
@@ -66,6 +67,7 @@ final class SnapshotTable(val root: String) {
     val parent = currentSnapshotId
     val id = parent.getOrElse(0L) + 1L
     val dataDir = Paths.get(root, "data", f"$id%09d")
+    clearOrphan(dataDir)
     val toWrite = if (numFiles > 0) df.repartition(numFiles) else df
     toWrite.write.mode("errorifexists").parquet(dataDir.toString)
     val files = listParquet(dataDir).map { p =>
@@ -94,6 +96,7 @@ final class SnapshotTable(val root: String) {
     val parent = currentSnapshotId
     val id = parent.getOrElse(0L) + 1L
     val dataDir = Paths.get(root, "data", f"$id%09d")
+    clearOrphan(dataDir)
     // one shuffle on the bucket key -> every bucket lands whole in one task
     // -> exactly one file per non-empty bucket under bucketCol=<k>/
     df.repartition(org.apache.spark.sql.functions.col(bucketCol))
@@ -107,6 +110,21 @@ final class SnapshotTable(val root: String) {
     }
     publish(id, parent, carryForward ++ files, watermark, Some(modulus))
   }
+
+  /** Remove leftovers of a CRASHED (never published) commit: `id` was
+    * computed as CURRENT+1, so anything already at its data dir belongs to
+    * a writer that died between its parquet write and its manifest publish.
+    * Without this the retry dies forever on mode("errorifexists"),
+    * defeating the resume contract (the data dir name is derived from the
+    * published CURRENT, so the retry is otherwise idempotent).
+    */
+  private def clearOrphan(dataDir: Path): Unit =
+    if (Files.exists(dataDir)) {
+      val walk = Files.walk(dataDir)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
 
   private def publish(id: Long, parent: Option[Long], files: Seq[FileStat],
       watermark: Option[String], bucketModulus: Option[Int] = None): Snapshot = {
@@ -229,13 +247,16 @@ final class SnapshotTable(val root: String) {
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
       .toSeq.sortBy(_.toString)
 
-  /** Row count from the parquet footer only — no data scan. */
+  /** Row count from the parquet footer only — no data scan. The Hadoop
+    * Configuration is shared (loading one costs milliseconds — per-file
+    * construction was pure driver latency on every bucketed micro-batch
+    * commit).
+    */
   private def parquetRowCount(p: Path): Long = {
-    import org.apache.hadoop.conf.Configuration
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val in = HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(p.toUri), new Configuration())
+      new org.apache.hadoop.fs.Path(p.toUri), SnapshotTable.hadoopConf)
     val r = ParquetFileReader.open(in)
     try r.getRecordCount finally r.close()
   }
@@ -255,16 +276,40 @@ final class SnapshotTable(val root: String) {
     val mod = s.bucketModulus.map(m => s""","bucketModulus":$m""").getOrElse("")
     s"""{"snapshotId":${s.snapshotId},"parentId":$par,"watermark":$wm$mod,"files":$fs}"""
   }
+  /** Full inverse of [[esc]] — backslash escapes AND \\uXXXX control chars;
+    * a partial unescape broke round-trips (a watermark with a quote no
+    * longer matched its own interval id, so Backfill's crash healing and
+    * `expireSnapshots`' live-path check silently failed for such keys).
+    */
+  private def unesc(s: String): String = {
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => out.append('"'); i += 2
+          case '\\' => out.append('\\'); i += 2
+          case 'n' => out.append('\n'); i += 2
+          case 'u' if i + 5 < s.length =>
+            out.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case other => out.append(c).append(other); i += 2
+        }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
   private def fromJson(j: String): Snapshot = {
     def longField(k: String): Option[Long] =
       s""""$k":\\s*(-?\\d+)""".r.findFirstMatchIn(j).map(_.group(1).toLong)
     val id = longField("snapshotId").get
     val parent = s""""parentId":\\s*(null|-?\\d+)""".r.findFirstMatchIn(j)
       .map(_.group(1)).filter(_ != "null").map(_.toLong)
-    val wm = s""""watermark":\\s*"((?:[^"\\\\]|\\\\.)*)"""".r.findFirstMatchIn(j).map(_.group(1))
+    val wm = s""""watermark":\\s*"((?:[^"\\\\]|\\\\.)*)"""".r.findFirstMatchIn(j)
+      .map(m => unesc(m.group(1)))
     val fileRe = """\{"path":"((?:[^"\\]|\\.)*)","rows":(\d+),"bytes":(\d+)(?:,"bucket":(\d+))?\}""".r
     val files = fileRe.findAllMatchIn(j).map { m =>
-      FileStat(m.group(1).replace("\\\\", "\\").replace("\\\"", "\""),
+      FileStat(unesc(m.group(1)),
         m.group(2).toLong, m.group(3).toLong, Option(m.group(4)).map(_.toInt))
     }.toSeq
     Snapshot(id, parent, files, wm,

@@ -101,6 +101,32 @@ class BackfillSpec extends SparkSpec {
       Some("created_timestamp"), t(0), t(2 * 3600), 3600, table, ckpt).isEmpty)
   }
 
+  test("a crash BEFORE publish leaves an orphan data dir; the retry commit clears it") {
+    import graft.materialize.Materialize
+    val root = freshDir("snap4")
+    val table = SnapshotTable(root)
+    val src = TokenSeq.generate(spark, n = 1000, entities = 5)
+    // simulate a writer that died mid-parquet-write: data/000000001/ exists
+    // with a partial file but no manifest was ever published
+    val orphan = Paths.get(root, "data", "000000001")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("part-00000.snappy.parquet"), Array[Byte](1, 2, 3))
+    // without orphan clearing this dies forever on mode("errorifexists")
+    val snap = table.commit(
+      Materialize.pullLatest(src, Seq("doc_id"), "event_timestamp",
+        Some("created_timestamp"), t(0), t(3600)))
+    assert(snap.snapshotId == 1L && table.read(spark).count() > 0)
+  }
+
+  test("manifest watermark with JSON-escaped characters round-trips exactly") {
+    val root = freshDir("snap5")
+    val table = SnapshotTable(root)
+    val wm = "a\"b\\c\nd\te" // quote, backslash, newline, tab
+    import spark.implicits._
+    table.commit(Seq((1L, 1.0)).toDF("k", "v"), watermark = Some(wm))
+    assert(table.currentSnapshot.get.watermark.contains(wm))
+  }
+
   test("snapshot table: time travel reads exactly the as-of snapshot's rows") {
     val root = freshDir("snap3")
     val table = SnapshotTable(root)

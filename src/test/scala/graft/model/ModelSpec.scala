@@ -121,6 +121,32 @@ class ModelSpec extends SparkSpec {
     assert(ValueType.fromName("FLOAT_LIST") == ValueType.ListOf(ValueType.FLOAT))
   }
 
+  test("ValueType name/fromName round-trips every shape incl. nested maps") {
+    import ValueType._
+    // the old underscore map encoding failed BOTH these: MAP_STRING_FLOAT_LIST
+    // parsed as list-of-map, MAP_UNIX_TIMESTAMP_DOUBLE crashed on load
+    val shapes = Seq(
+      MapOf(STRING, ListOf(FLOAT)), MapOf(UNIX_TIMESTAMP, DOUBLE),
+      ListOf(MapOf(STRING, INT32)), MapOf(STRING, MapOf(INT64, BOOL)),
+      ListOf(UNIX_TIMESTAMP), BYTES, UNIX_TIMESTAMP)
+    shapes.foreach(vt => assert(fromName(name(vt)) == vt, name(vt)))
+  }
+
+  test("named event_timestamp with an unusable type errors; unmappable columns skipped") {
+    import org.apache.spark.sql.types._
+    // a LongType event_timestamp must ERROR, not silently redirect the
+    // as-of key to some other timestamp column
+    val bad = StructType(Seq(
+      StructField("event_timestamp", LongType), StructField("created_at", TimestampType)))
+    intercept[IllegalArgumentException](Inference.eventTimestampColumn(bad))
+    // inference skips columns with no ValueType mapping (DateType partition
+    // column, DecimalType metric) instead of crashing the whole view
+    val mixed = StructType(Seq(
+      StructField("k", LongType), StructField("ds", DateType),
+      StructField("amount", DecimalType(10, 2)), StructField("v", DoubleType)))
+    assert(Inference.features(mixed, Set("k")).map(_.name) == Seq("v"))
+  }
+
   test("incrementalStart resumes from the newest checkpointed interval end") {
     val dir = java.nio.file.Files.createTempDirectory("graft_incr").toString
     val path = s"$dir/checkpoints.jsonl"

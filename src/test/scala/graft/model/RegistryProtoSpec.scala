@@ -170,6 +170,20 @@ class RegistryProtoSpec extends SparkSpec {
     assert(str(msg1(msgs(reg, 1).head, 1), 9) == "default")
   }
 
+  test("conflicting entity redefinitions fail; extension list types export INVALID") {
+    // two views declaring 'driver' with different value types must not
+    // silently export whichever sorts first
+    val conflicting = viewA.copy(name = "zz",
+      entities = Seq(Entity("driver", ValueType.STRING, joinKey = Some("driver_id"))))
+    val e = intercept[IllegalArgumentException](
+      RegistryProto.registryBytes(Seq(viewA, conflicting)))
+    assert(e.getMessage.contains("conflicting"))
+    // list-of-map is an engine extension with no reference enum arm:
+    // INVALID(0), never the undefined number 10
+    assert(RegistryProto.valueTypeEnum(
+      ValueType.ListOf(ValueType.MapOf(ValueType.STRING, ValueType.INT32))) == 0)
+  }
+
   test("deterministic and content-addressed: same views same bytes, changed views new version_id") {
     val a1 = RegistryProto.registryBytes(Seq(viewB, viewA))
     val a2 = RegistryProto.registryBytes(Seq(viewA, viewB)) // order-independent
@@ -188,7 +202,7 @@ class RegistryProtoSpec extends SparkSpec {
     new Backfill.CheckpointLog(reg.intervalLogPath("b_trips")).append(
       IntervalMetrics("2021-06-01T00:00:00Z_2021-06-02T00:00:00Z", 10L, 100L, 1L, Nil))
     val out = s"$dir/registry.db"
-    RegistryProto.export(reg, out, project = "proj")
+    RegistryProto.exportTo(reg, out, project = "proj")
     val decoded = decode(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out)))
     val specs = msgs(decoded, 6).map(v => msg1(v, 1))
     assert(specs.map(str(_, 1)) == Vector("a_rate", "b_trips"))
